@@ -1,0 +1,158 @@
+"""Headless CLI driver — the replacement for the GLFW/ImGui interactive
+loop (src/main.cpp:147-470). Every ImGui knob is a flag; output goes to
+PNG files; the FPS readout becomes printed frame stats.
+
+Usage examples:
+  python -m raytracer_tpu.cli render --scene 1 --width 800 --height 600 \\
+      --bounces 3 --out scene1.png
+  python -m raytracer_tpu.cli animate --scene 1 --frames 10 --out-dir frames/
+  python -m raytracer_tpu.cli bench --scene 1 --renderer wavefront
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _build(args):
+    import numpy as np
+    from raytracer_tpu.accel import build_bvh, linearize
+    from raytracer_tpu.config import RenderConfig
+    from raytracer_tpu.scenes import generate_scene
+
+    cfg = RenderConfig(width=args.width, height=args.height,
+                       max_bounces=args.bounces, use_bvh=not args.no_bvh,
+                       use_fresnel=args.fresnel, use_mt=args.mt,
+                       ray_chunk=args.ray_chunk)
+    sc = generate_scene(args.scene, aspect=args.width / args.height,
+                        seed=args.seed)
+    bvh = None
+    if cfg.use_bvh:
+        bvh = linearize(build_bvh(sc.flat, sc.bvh_max_depth))
+    return cfg, sc, bvh
+
+
+def _render_frame(cfg, sc, flat, bvh, renderer: str):
+    if renderer == "wavefront" and bvh is not None:
+        from raytracer_tpu.render import wavefront
+        return wavefront.render(flat, bvh, sc.camera, sc.light, cfg)
+    if renderer == "cpu":
+        from raytracer_tpu.render.cpu_fallback import render
+        return render(flat, sc.camera, sc.light, cfg)
+    if renderer == "pallas":
+        from raytracer_tpu.render import pallas_kernel
+        return pallas_kernel.render(flat, bvh, sc.camera, sc.light, cfg)
+    from raytracer_tpu.render.reference import render
+    return render(flat, sc.camera, sc.light, cfg)
+
+
+def cmd_render(args):
+    import jax
+    import numpy as np
+    from raytracer_tpu.io import write_png
+
+    cfg, sc, bvh = _build(args)
+    t0 = time.perf_counter()
+    img = jax.block_until_ready(
+        _render_frame(cfg, sc, sc.flat, bvh, args.renderer))
+    dt = time.perf_counter() - t0
+    write_png(args.out, np.asarray(img))
+    print(f"{sc.name}: {cfg.width}x{cfg.height} bounces={cfg.max_bounces} "
+          f"renderer={args.renderer} first-frame {dt:.3f}s -> {args.out}")
+
+
+def cmd_animate(args):
+    import jax
+    import numpy as np
+    from raytracer_tpu.anim import animate_scene
+    from raytracer_tpu.io import write_png
+    from raytracer_tpu.utils.timing import FrameTimer
+
+    cfg, sc, bvh = _build(args)
+    os.makedirs(args.out_dir, exist_ok=True)
+    timer = FrameTimer()
+    flat = sc.flat
+    dt = 1.0 / args.fps_assumed
+    for frame in range(args.frames):
+        t = frame * dt
+        flat = animate_scene(sc, flat, elapsed_time=t, delta_time=dt)
+        if bvh is not None and (sc.animated_indices):
+            # reference updateBVH: refit-grow each animated frame
+            from raytracer_tpu.accel import build_bvh as _bb, linearize as _ln
+            from raytracer_tpu.accel.bvh import refit_grow
+            # rebuild lazily every args.refit_every frames, refit otherwise
+            if frame % max(args.refit_every, 1) == 0 and frame:
+                bvh = _ln(_bb(flat, sc.bvh_max_depth))
+        img = jax.block_until_ready(
+            _render_frame(cfg, sc, flat, bvh, args.renderer))
+        timer.tick()
+        path = os.path.join(args.out_dir, f"frame_{frame:04d}.png")
+        write_png(path, np.asarray(img))
+    print(f"{args.frames} frames -> {args.out_dir} "
+          f"(last fps={timer.fps:.1f})")
+
+
+def cmd_bench(args):
+    import jax
+    from raytracer_tpu.utils.timing import benchmark
+
+    cfg, sc, bvh = _build(args)
+    flat = sc.flat
+
+    def run():
+        return _render_frame(cfg, sc, flat, bvh, args.renderer)
+
+    stats = benchmark(run, warmup=2, iters=args.iters,
+                      rays_per_call=cfg.num_pixels)
+    stats.update(scene=sc.name, renderer=args.renderer,
+                 width=cfg.width, height=cfg.height,
+                 bounces=cfg.max_bounces, device=str(jax.devices()[0]))
+    print(json.dumps(stats))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="raytracer_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--scene", type=int, default=3, choices=[1, 2, 3])
+        sp.add_argument("--width", type=int, default=800)
+        sp.add_argument("--height", type=int, default=600)
+        sp.add_argument("--bounces", type=int, default=3)
+        sp.add_argument("--no-bvh", action="store_true")
+        sp.add_argument("--fresnel", action="store_true")
+        sp.add_argument("--mt", action="store_true",
+                        help="Moller-Trumbore triangle test")
+        sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--ray-chunk", type=int, default=8192)
+        sp.add_argument("--renderer", default="wavefront",
+                        choices=["wavefront", "reference", "cpu", "pallas"])
+
+    sp = sub.add_parser("render", help="render one frame to PNG")
+    common(sp)
+    sp.add_argument("--out", default="out.png")
+    sp.set_defaults(fn=cmd_render)
+
+    sp = sub.add_parser("animate", help="render an animated sequence")
+    common(sp)
+    sp.add_argument("--frames", type=int, default=10)
+    sp.add_argument("--fps-assumed", type=float, default=30.0)
+    sp.add_argument("--refit-every", type=int, default=1)
+    sp.add_argument("--out-dir", default="frames")
+    sp.set_defaults(fn=cmd_animate)
+
+    sp = sub.add_parser("bench", help="benchmark a renderer")
+    common(sp)
+    sp.add_argument("--iters", type=int, default=10)
+    sp.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,59 @@
+"""Render configuration.
+
+The reference scatters configuration across three tiers (compile-time consts,
+ImGui-mutated globals, GPU uniforms — src/main.cpp:46,113-138,357-361 and
+src/shaders/gpu_shader.comp:126-130). Here it is a single hashable dataclass
+passed statically into jit'd renderers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render settings (hashable; safe as a jit static argument).
+
+    Mirrors the reference's uniforms/globals:
+      width/height   <- WIDTH/HEIGHT (src/main.cpp:113-114; default 800x600)
+      max_bounces    <- maxBounces (src/main.cpp:135; ImGui range 1-10)
+      use_bvh        <- useBVH (src/main.cpp:137)
+      use_fresnel    <- useFresnel (src/main.cpp:136)
+      use_mt         <- useMollerTrumbore (src/main.cpp:118); switches the
+                        triangle test between barycentric and Moller-Trumbore
+                        (gpu_shader.comp:317-325)
+    TPU-side knobs have no reference analogue:
+      ray_chunk      rays per lax.map chunk in the oracle renderer
+      tile_h/tile_w  Pallas kernel tile shape (pixels per program)
+    """
+
+    width: int = 800
+    height: int = 600
+    max_bounces: int = 3
+    use_bvh: bool = True
+    use_fresnel: bool = False
+    use_mt: bool = False
+
+    # Shadow-ray surface offset: the reference uses 1e-3 in the BVH path and
+    # 1e-5 in the non-BVH path (gpu_shader.comp:469,565).
+    @property
+    def shadow_eps(self) -> float:
+        return 1e-3 if self.use_bvh else 1e-5
+
+    # Reflection-ray surface offset (gpu_shader.comp:498,598): always 1e-3.
+    reflect_eps: float = 1e-3
+
+    # TPU execution knobs.
+    ray_chunk: int = 8192
+    tile_h: int = 64
+    tile_w: int = 128
+    interpret: Optional[bool] = None  # Pallas interpret mode; None = auto
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height

@@ -1,0 +1,147 @@
+"""Camera operations as pure functions over the Camera pytree.
+
+Reference: src/camera.hpp. The reference mutates a Camera object from
+keyboard/mouse callbacks; here every operation returns a new Camera so the
+whole chain is traceable/differentiable (e.g. camera-pose optimization).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from raytracer_tpu.core.types import Camera, normalize
+
+# Reference defaults (src/camera.hpp:21-26).
+YAW = -90.0
+PITCH = 0.0
+SPEED = 15.0
+SENSITIVITY = 0.1
+WORLD_UP = (0.0, 1.0, 0.0)
+
+
+def _vectors_from_euler(yaw_deg, pitch_deg, world_up):
+    """Front/right/up from Euler angles (src/camera.hpp:152-163)."""
+    yaw = jnp.deg2rad(jnp.asarray(yaw_deg, jnp.float32))
+    pitch = jnp.deg2rad(jnp.asarray(pitch_deg, jnp.float32))
+    front = jnp.stack([
+        jnp.cos(yaw) * jnp.cos(pitch),
+        jnp.sin(pitch),
+        jnp.sin(yaw) * jnp.cos(pitch),
+    ])
+    front = normalize(front)
+    world_up = jnp.asarray(world_up, jnp.float32)
+    right = normalize(jnp.cross(front, world_up))
+    up = normalize(jnp.cross(right, front))
+    return front, right, up
+
+
+def from_euler(position=(0.0, 0.0, 0.0), yaw=YAW, pitch=PITCH, fov_deg=60.0,
+               aspect=1.0, world_up=WORLD_UP) -> Camera:
+    """Build a camera the way the reference ctor does (src/camera.hpp:50-57)."""
+    front, right, up = _vectors_from_euler(yaw, pitch, world_up)
+    return Camera(position, front, up, right, fov_deg, aspect)
+
+
+def look_at(cam: Camera, target, world_up=WORLD_UP) -> Camera:
+    """Point the camera at ``target`` (src/camera.hpp:139-148).
+
+    The reference recomputes pitch = asin(dir.y), yaw = atan2(dir.z, dir.x)
+    and re-derives the basis; we do the same (rather than a direct lookAt
+    matrix) so the resulting basis is bit-compatible.
+    """
+    target = jnp.asarray(target, jnp.float32)
+    direction = normalize(target - cam.position)
+    pitch = jnp.rad2deg(jnp.arcsin(direction[1]))
+    yaw = jnp.rad2deg(jnp.arctan2(direction[2], direction[0]))
+    front, right, up = _vectors_from_euler(yaw, pitch, world_up)
+    return Camera(cam.position, front, up, right, cam.fov_deg, cam.aspect)
+
+
+def get_rays(cam: Camera, ndc_x: jnp.ndarray, ndc_y: jnp.ndarray
+             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Generate primary rays for NDC coordinates (broadcasts over any shape).
+
+    Reference: Camera::GetRay (src/camera.hpp:124-137) and the GLSL getRay
+    (gpu_shader.comp:155-168): image plane at distance 1 along Front,
+    half-height = tan(fov/2).
+
+    Returns (origins, directions), shape ndc.shape + (3,). Directions are
+    normalized.
+    """
+    half_h = jnp.tan(jnp.deg2rad(cam.fov_deg / 2.0))
+    half_w = half_h * cam.aspect
+    ndc_x = jnp.asarray(ndc_x, jnp.float32)[..., None]
+    ndc_y = jnp.asarray(ndc_y, jnp.float32)[..., None]
+    plane_point = (cam.position + cam.front
+                   + ndc_x * half_w * cam.right
+                   + ndc_y * half_h * cam.up)
+    d = normalize(plane_point - cam.position)
+    o = jnp.broadcast_to(cam.position, d.shape)
+    return o, d
+
+
+def pixel_ndc(width: int, height: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """NDC grids for a width x height image, y flipped as in the reference
+    (gpu_shader.comp:440-443 / main.cpp:852): ndc = (2x/W - 1, 1 - 2y/H).
+
+    Returns (ndc_x, ndc_y) of shape (height, width), f32.
+    """
+    xs = jnp.arange(width, dtype=jnp.float32)
+    ys = jnp.arange(height, dtype=jnp.float32)
+    ndc_x = 2.0 * xs[None, :] / width - 1.0
+    ndc_y = 1.0 - 2.0 * ys[:, None] / height
+    ndc_x = jnp.broadcast_to(ndc_x, (height, width))
+    ndc_y = jnp.broadcast_to(ndc_y, (height, width))
+    return ndc_x, ndc_y
+
+
+def camera_rays(cam: Camera, width: int, height: int
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """All primary rays for the image, shape (H, W, 3) each."""
+    ndc_x, ndc_y = pixel_ndc(width, height)
+    return get_rays(cam, ndc_x, ndc_y)
+
+
+def move(cam: Camera, direction: str, delta_time, speed=SPEED) -> Camera:
+    """WASD/space/ctrl movement (src/camera.hpp:75-90).
+
+    Note the reference quirk: UP *subtracts* Up and DOWN adds it
+    (camera.hpp:86-89) — the world is effectively y-down. Preserved.
+    """
+    v = jnp.asarray(speed, jnp.float32) * jnp.asarray(delta_time, jnp.float32)
+    offsets = {
+        "forward": cam.front * v,
+        "backward": -cam.front * v,
+        "left": -cam.right * v,
+        "right": cam.right * v,
+        "up": -cam.up * v,
+        "down": cam.up * v,
+    }
+    if direction not in offsets:
+        raise ValueError(f"unknown direction {direction!r}")
+    return Camera(cam.position + offsets[direction], cam.front, cam.up,
+                  cam.right, cam.fov_deg, cam.aspect)
+
+
+def yaw_pitch_of(cam: Camera):
+    """Recover Euler angles from the front vector (inverse of
+    _vectors_from_euler; used by mouse-look)."""
+    pitch = jnp.rad2deg(jnp.arcsin(jnp.clip(cam.front[1], -1.0, 1.0)))
+    yaw = jnp.rad2deg(jnp.arctan2(cam.front[2], cam.front[0]))
+    return yaw, pitch
+
+
+def mouse_look(cam: Camera, dx, dy, sensitivity=SENSITIVITY,
+               constrain_pitch=True, world_up=WORLD_UP) -> Camera:
+    """Mouse-look (src/camera.hpp:93-112): yaw += dx*s, pitch += dy*s,
+    pitch clamped to [-89, 89]."""
+    yaw, pitch = yaw_pitch_of(cam)
+    yaw = yaw + jnp.asarray(dx, jnp.float32) * sensitivity
+    pitch = pitch + jnp.asarray(dy, jnp.float32) * sensitivity
+    if constrain_pitch:
+        pitch = jnp.clip(pitch, -89.0, 89.0)
+    front, right, up = _vectors_from_euler(yaw, pitch, world_up)
+    return Camera(cam.position, front, up, right, cam.fov_deg, cam.aspect)

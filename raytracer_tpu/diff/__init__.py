@@ -1,0 +1,4 @@
+from raytracer_tpu.diff.inverse import (image_loss, fit_scene_params,
+                                        make_loss_fn)
+
+__all__ = ["image_loss", "fit_scene_params", "make_loss_fn"]

@@ -1,0 +1,95 @@
+"""Inverse rendering: fit scene parameters to target images by gradient
+descent.
+
+The reference has no differentiable path (its knobs are hand-tuned through
+ImGui, src/main.cpp:373-431); differentiability is the headline capability
+the TPU-native redesign adds on top. The whole pipeline — ray gen,
+intersection, Whitted shading — is pure jnp, so jax.grad flows from pixels
+back to sphere centers/radii, triangle vertices, materials, light and
+camera pose. Non-differentiable discrete events (which shape is hit, shadow
+on/off) follow the standard differentiable-rasterization convention: the
+discrete decision is held fixed, gradients flow through the continuous
+shading/geometry terms.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from raytracer_tpu.config import RenderConfig
+from raytracer_tpu.core.scene import FlatScene
+from raytracer_tpu.core.types import Camera, Light
+from raytracer_tpu.render.reference import render as render_ref
+
+
+def image_loss(img: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Mean squared error over pixels."""
+    diff = img - target
+    return jnp.mean(diff * diff)
+
+
+def make_loss_fn(scene: FlatScene, camera: Camera, light: Light,
+                 cfg: RenderConfig, target: jnp.ndarray,
+                 param_fields: Iterable[str]) -> Callable:
+    """Build loss(params) where params is a dict {field: array} of FlatScene
+    fields (e.g. sphere_center, mat_color) being optimized; all other scene
+    fields are closed over as constants."""
+    fields = tuple(param_fields)
+
+    def loss(params: Dict[str, jnp.ndarray],
+             light_params: Optional[Light] = None) -> jnp.ndarray:
+        s = scene.replace(**params)
+        lt = light_params if light_params is not None else light
+        img = render_ref(s, camera, lt, cfg)
+        return image_loss(img, target)
+
+    loss.param_fields = fields
+    return loss
+
+
+@partial(jax.jit, static_argnames=("loss_fn", "lr"))
+def _sgd_step(loss_fn, params, lr):
+    val, grads = jax.value_and_grad(loss_fn)(params)
+    new_params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params,
+                                        grads)
+    return new_params, val
+
+
+def fit_scene_params(scene: FlatScene, camera: Camera, light: Light,
+                     cfg: RenderConfig, target: jnp.ndarray,
+                     init_params: Dict[str, jnp.ndarray],
+                     steps: int = 100, lr: float = 0.05,
+                     optimizer=None) -> Tuple[Dict[str, jnp.ndarray], list]:
+    """Gradient-descent fit of the given FlatScene fields to ``target``.
+
+    With ``optimizer`` (an optax GradientTransformation) uses that;
+    otherwise plain SGD. Returns (fitted params, loss history).
+    """
+    loss_fn = make_loss_fn(scene, camera, light, cfg, target,
+                           init_params.keys())
+    params = dict(init_params)
+    history = []
+
+    if optimizer is not None:
+        opt_state = optimizer.init(params)
+
+        @jax.jit
+        def step(params, opt_state):
+            val, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            import optax
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, val
+
+        for _ in range(steps):
+            params, opt_state, val = step(params, opt_state)
+            history.append(float(val))
+    else:
+        for _ in range(steps):
+            params, val = _sgd_step(loss_fn, params, lr)
+            history.append(float(val))
+    return params, history

@@ -1,0 +1,106 @@
+"""The Whitted bounce loop, shared by all JAX-level renderers.
+
+Reference: the per-pixel loop of gpu_shader.comp:446-620 (both the BVH and
+linear-scan branches run identical shading; they differ only in how the
+closest hit is found and in the shadow epsilon). Here the loop is a
+``lax.fori_loop`` over a whole wavefront of rays at once, parameterized by a
+``closest_hit_fn`` so the brute-force oracle, the BVH wavefront renderer and
+tests all share one shading implementation.
+
+Quirks preserved (SURVEY.md §5 checklist):
+- miss adds attenuation * background then terminates (gpu_shader.comp:454-458)
+- shadow darkens by x0.3; occluded iff closest shadow-hit distance < light
+  distance; shadow-ray origin offset 1e-3 (BVH) / 1e-5 (non-BVH)
+- reflection only when specularStrength > 0; non-Fresnel attenuation *=
+  specularStrength; Fresnel mode blends attenuation with mix(hitColor, 1, w)
+  AND adds an extra (1-w)*hitColor*phongColor term (the reference's
+  intentional double-count, gpu_shader.comp:495-516)
+- ``viewDir`` passed to phong is ray.dir (points toward the surface)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from raytracer_tpu.config import RenderConfig
+from raytracer_tpu.core.scene import FlatScene
+from raytracer_tpu.core.types import Light, normalize
+from raytracer_tpu.geom.batched import shape_normal
+from raytracer_tpu.geom.direct import reflect
+from raytracer_tpu.render import shading
+
+ClosestHitFn = Callable[[jnp.ndarray, jnp.ndarray],
+                        Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]
+
+
+def trace(scene: FlatScene, light: Light, closest_hit_fn: ClosestHitFn,
+          o: jnp.ndarray, d: jnp.ndarray, bg: jnp.ndarray,
+          cfg: RenderConfig) -> jnp.ndarray:
+    """Trace R rays to completion. o, d, bg: (R, 3). Returns colors (R, 3)."""
+    light_pos = light.position
+    light_color = light.color
+    shadow_eps = jnp.float32(cfg.shadow_eps)
+    reflect_eps = jnp.float32(cfg.reflect_eps)
+
+    accum = jnp.zeros_like(o)
+    atten = jnp.ones_like(o)
+    alive = jnp.ones(o.shape[:-1], dtype=bool)
+
+    def bounce(_, carry):
+        o, d, atten, accum, alive = carry
+        t, sid, hit = closest_hit_fn(o, d)
+
+        # Miss: add attenuated background, terminate (comp:454-458).
+        miss_now = alive & ~hit
+        accum = accum + jnp.where(miss_now[..., None], atten * bg, 0.0)
+        live = alive & hit
+
+        p = o + t[..., None] * d
+        n = shape_normal(scene, sid, p)
+        mat_color = jnp.take(scene.mat_color, sid, axis=0)
+        k_a = jnp.take(scene.mat_ambient, sid, axis=0)
+        k_d = jnp.take(scene.mat_diffuse, sid, axis=0)
+        k_s = jnp.take(scene.mat_specular, sid, axis=0)
+        k_f = jnp.take(scene.mat_fresnel, sid, axis=0)
+        shin = jnp.take(scene.mat_shininess, sid, axis=0)
+
+        # Shadow ray (comp:466-480 / :562-580).
+        s_o = p + n * shadow_eps
+        s_d = normalize(light_pos - p, eps=1e-30)
+        s_t, _, s_hit = closest_hit_fn(s_o, s_d)
+        light_dist = jnp.linalg.norm(light_pos - p, axis=-1)
+        in_shadow = s_hit & (s_t < light_dist)
+
+        color = shading.phong(p, n, d, light_pos, light_color, mat_color,
+                              k_a, k_d, k_s, shin, attenuate=True)
+        color = jnp.where(in_shadow[..., None],
+                          color * shading.SHADOW_FACTOR, color)
+        accum = accum + jnp.where(live[..., None], atten * color, 0.0)
+
+        # Reflection (comp:495-516).
+        spec_pos = k_s > 0
+        new_d = reflect(d, n)
+        new_o = p + n * reflect_eps
+        cont = live & spec_pos
+
+        if cfg.use_fresnel:
+            w = shading.fresnel_weight(new_d, n, k_f)
+            new_atten = atten * (mat_color + (1.0 - mat_color) * w[..., None])
+            # NOTE: the extra term is NOT multiplied by attenuation in the
+            # reference (gpu_shader.comp:510) — preserved verbatim.
+            extra = (1.0 - w)[..., None] * mat_color * color
+            accum = accum + jnp.where(cont[..., None], extra, 0.0)
+        else:
+            new_atten = atten * k_s[..., None]
+
+        atten = jnp.where(cont[..., None], new_atten, atten)
+        o = jnp.where(cont[..., None], new_o, o)
+        d = jnp.where(cont[..., None], new_d, d)
+        return o, d, atten, accum, cont
+
+    _, _, _, accum, _ = jax.lax.fori_loop(
+        0, cfg.max_bounces, bounce, (o, d, atten, accum, alive))
+    return accum
