@@ -75,14 +75,32 @@ def _grow(node: _Node, mins, maxs, idx):
 
 
 def build_bvh(scene: FlatScene, max_depth: int = 15,
-              aabbs=None, centers=None) -> BVH:
-    """buildBVH + split + serializeBVH (main.cpp:1111-1193, 955-979)."""
+              aabbs=None, centers=None, backend: str = "auto") -> BVH:
+    """buildBVH + split + serializeBVH (main.cpp:1111-1193, 955-979).
+
+    backend: "auto" uses the native C++ builder (native/scene_prep.cpp) when
+    available, "python"/"native" force one; outputs are bit-identical
+    (tests/test_native.py)."""
     if aabbs is None:
         mins, maxs = shape_aabbs(scene)
     else:
         mins, maxs = aabbs
     if centers is None:
         centers = shape_centers(scene)
+
+    if backend != "python":
+        try:
+            from raytracer_tpu import native
+            if native.available():
+                (bmin, bmax, left, right, start, count, indices,
+                 node_shapes) = native.build_bvh_native(
+                     mins, maxs, centers, max_depth)
+                return BVH(bounds_min=bmin, bounds_max=bmax, left=left,
+                           right=right, start=start, count=count,
+                           indices=indices, node_shapes=node_shapes)
+        except Exception:
+            if backend == "native":
+                raise
 
     out_nodes: List[_Node] = []
 

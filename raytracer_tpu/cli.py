@@ -46,6 +46,9 @@ def _render_frame(cfg, sc, flat, bvh, renderer: str):
     if renderer == "pallas":
         from raytracer_tpu.render import pallas_kernel
         return pallas_kernel.render(flat, bvh, sc.camera, sc.light, cfg)
+    if renderer == "pallas-bvh":
+        from raytracer_tpu.render import pallas_bvh
+        return pallas_bvh.render(flat, bvh, sc.camera, sc.light, cfg)
     from raytracer_tpu.render.reference import render
     return render(flat, sc.camera, sc.light, cfg)
 
@@ -130,7 +133,8 @@ def main(argv=None):
         sp.add_argument("--seed", type=int, default=0)
         sp.add_argument("--ray-chunk", type=int, default=8192)
         sp.add_argument("--renderer", default="wavefront",
-                        choices=["wavefront", "reference", "cpu", "pallas"])
+                        choices=["wavefront", "reference", "cpu", "pallas",
+                                 "pallas-bvh"])
 
     sp = sub.add_parser("render", help="render one frame to PNG")
     common(sp)

@@ -120,12 +120,12 @@ def _closest_hit_kernel(rows_ref, rays_ref, t_ref, sid_ref,
         """leaf-box slab test (gpu_shader.comp:364-377) as visibility gate."""
         if not gate_boxes:
             return inner
-        tx0 = (rows_ref[F_B0X, i] - ox) * inv_dx
-        tx1 = (rows_ref[F_B1X, i] - ox) * inv_dx
-        ty0 = (rows_ref[F_B0Y, i] - oy) * inv_dy
-        ty1 = (rows_ref[F_B1Y, i] - oy) * inv_dy
-        tz0 = (rows_ref[F_B0Z, i] - oz) * inv_dz
-        tz1 = (rows_ref[F_B1Z, i] - oz) * inv_dz
+        tx0 = (rows_ref[i, F_B0X] - ox) * inv_dx
+        tx1 = (rows_ref[i, F_B1X] - ox) * inv_dx
+        ty0 = (rows_ref[i, F_B0Y] - oy) * inv_dy
+        ty1 = (rows_ref[i, F_B1Y] - oy) * inv_dy
+        tz0 = (rows_ref[i, F_B0Z] - oz) * inv_dz
+        tz1 = (rows_ref[i, F_B1Z] - oz) * inv_dz
         tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
                                        jnp.minimum(ty0, ty1)),
                            jnp.minimum(tz0, tz1))
@@ -141,10 +141,10 @@ def _closest_hit_kernel(rows_ref, rays_ref, t_ref, sid_ref,
                 jnp.where(better, i, sid_best))
 
     def sphere_body(i, carry):
-        ocx = ox - rows_ref[F_CX, i]
-        ocy = oy - rows_ref[F_CY, i]
-        ocz = oz - rows_ref[F_CZ, i]
-        r = rows_ref[F_R, i]
+        ocx = ox - rows_ref[i, F_CX]
+        ocy = oy - rows_ref[i, F_CY]
+        ocz = oz - rows_ref[i, F_CZ]
+        r = rows_ref[i, F_R]
         bb = 2.0 * (dx * ocx + dy * ocy + dz * ocz)
         cc = ocx * ocx + ocy * ocy + ocz * ocz - r * r
         disc = bb * bb - 4.0 * aa * cc
@@ -154,12 +154,12 @@ def _closest_hit_kernel(rows_ref, rays_ref, t_ref, sid_ref,
         return update(carry, i, t, gate(i, inner, t))
 
     def plane_base(i):
-        nx = rows_ref[F_NX, i]
-        ny = rows_ref[F_NY, i]
-        nz = rows_ref[F_NZ, i]
+        nx = rows_ref[i, F_NX]
+        ny = rows_ref[i, F_NY]
+        nz = rows_ref[i, F_NZ]
         d_n = dx * nx + dy * ny + dz * nz
         o_n = ox * nx + oy * ny + oz * nz
-        t = -(rows_ref[F_PD, i] + o_n) / jnp.where(d_n == 0, 1.0, d_n)
+        t = -(rows_ref[i, F_PD] + o_n) / jnp.where(d_n == 0, 1.0, d_n)
         inner = (d_n > 0) & (t > 0)
         return t, inner
 
@@ -173,13 +173,13 @@ def _closest_hit_kernel(rows_ref, rays_ref, t_ref, sid_ref,
         hx = ox + tw * dx
         hy = oy + tw * dy
         hz = oz + tw * dz
-        u_proj = (hx * rows_ref[F_V1X, i] + hy * rows_ref[F_V1Y, i]
-                  + hz * rows_ref[F_V1Z, i] - rows_ref[F_S0, i])
-        v_proj = (hx * rows_ref[F_V2X, i] + hy * rows_ref[F_V2Y, i]
-                  + hz * rows_ref[F_V2Z, i] - rows_ref[F_S1, i])
-        outside = ((u_proj < 0) | (u_proj > rows_ref[F_S2, i])
-                   | (v_proj < 0) | (v_proj > rows_ref[F_S3, i]))
-        inner = inner & ((rows_ref[F_WDEG, i] > 0) | ~outside)
+        u_proj = (hx * rows_ref[i, F_V1X] + hy * rows_ref[i, F_V1Y]
+                  + hz * rows_ref[i, F_V1Z] - rows_ref[i, F_S0])
+        v_proj = (hx * rows_ref[i, F_V2X] + hy * rows_ref[i, F_V2Y]
+                  + hz * rows_ref[i, F_V2Z] - rows_ref[i, F_S1])
+        outside = ((u_proj < 0) | (u_proj > rows_ref[i, F_S2])
+                   | (v_proj < 0) | (v_proj > rows_ref[i, F_S3]))
+        inner = inner & ((rows_ref[i, F_WDEG] > 0) | ~outside)
         return update(carry, i, t, gate(i, inner, t))
 
     def tri_bary_body(i, carry):
@@ -188,32 +188,32 @@ def _closest_hit_kernel(rows_ref, rays_ref, t_ref, sid_ref,
         hx = ox + tw * dx
         hy = oy + tw * dy
         hz = oz + tw * dz
-        d20 = (hx * rows_ref[F_V1X, i] + hy * rows_ref[F_V1Y, i]
-               + hz * rows_ref[F_V1Z, i] - rows_ref[F_S0, i])
-        d21 = (hx * rows_ref[F_V2X, i] + hy * rows_ref[F_V2Y, i]
-               + hz * rows_ref[F_V2Z, i] - rows_ref[F_S1, i])
-        v = rows_ref[F_S2, i] * d20 - rows_ref[F_S3, i] * d21
-        w = rows_ref[F_S4, i] * d21 - rows_ref[F_S3, i] * d20
+        d20 = (hx * rows_ref[i, F_V1X] + hy * rows_ref[i, F_V1Y]
+               + hz * rows_ref[i, F_V1Z] - rows_ref[i, F_S0])
+        d21 = (hx * rows_ref[i, F_V2X] + hy * rows_ref[i, F_V2Y]
+               + hz * rows_ref[i, F_V2Z] - rows_ref[i, F_S1])
+        v = rows_ref[i, F_S2] * d20 - rows_ref[i, F_S3] * d21
+        w = rows_ref[i, F_S4] * d21 - rows_ref[i, F_S3] * d20
         u = 1.0 - v - w
         inner = inner & ~((u < 0) | (v < 0) | (w < 0))
         return update(carry, i, t, gate(i, inner, t))
 
     def tri_mt_body(i, carry):
-        e1x = rows_ref[F_V1X, i]
-        e1y = rows_ref[F_V1Y, i]
-        e1z = rows_ref[F_V1Z, i]
-        e2x = rows_ref[F_V2X, i]
-        e2y = rows_ref[F_V2Y, i]
-        e2z = rows_ref[F_V2Z, i]
+        e1x = rows_ref[i, F_V1X]
+        e1y = rows_ref[i, F_V1Y]
+        e1z = rows_ref[i, F_V1Z]
+        e2x = rows_ref[i, F_V2X]
+        e2y = rows_ref[i, F_V2Y]
+        e2z = rows_ref[i, F_V2Z]
         hcx = dy * e2z - dz * e2y
         hcy = dz * e2x - dx * e2z
         hcz = dx * e2y - dy * e2x
         a = e1x * hcx + e1y * hcy + e1z * hcz
         ok = jnp.abs(a) >= 1e-5
         f = 1.0 / jnp.where(ok, a, 1.0)
-        smx = ox - rows_ref[F_V3X, i]
-        smy = oy - rows_ref[F_V3Y, i]
-        smz = oz - rows_ref[F_V3Z, i]
+        smx = ox - rows_ref[i, F_V3X]
+        smy = oy - rows_ref[i, F_V3Y]
+        smz = oz - rows_ref[i, F_V3Z]
         u = f * (smx * hcx + smy * hcy + smz * hcz)
         ok = ok & (u >= 0) & (u <= 1)
         qx = smy * e1z - smz * e1y
@@ -251,7 +251,11 @@ def make_closest_hit(rows_ext: jnp.ndarray, perm: jnp.ndarray, counts,
     n = rows_ext.shape[0]
     n_pad = ((n + 127) // 128) * 128
     rows_pad = jnp.pad(rows_ext, ((0, n_pad - n), (0, 0)))
-    rows_t = rows_pad.T  # (PACK_EXT, N_pad): fields x shapes
+    # row-major (N_pad, PACK_EXT): Mosaic supports dynamic SUBLANE
+    # indexing with a static lane (rows_ref[i, F]); the transposed
+    # (F, N) layout would need dynamic-lane scalar loads, which the
+    # TPU compiler rejects.
+    rows_nm = rows_pad
 
     kernel = functools.partial(_closest_hit_kernel, counts=counts,
                                n_pad=n_pad, use_mt=cfg.use_mt,
@@ -274,7 +278,7 @@ def make_closest_hit(rows_ext: jnp.ndarray, perm: jnp.ndarray, counts,
             kernel,
             grid=(g,),
             in_specs=[
-                pl.BlockSpec((PACK_EXT, n_pad), lambda i: (0, 0),
+                pl.BlockSpec((n_pad, PACK_EXT), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((6, 1, th, tw), lambda i: (0, i, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -290,7 +294,7 @@ def make_closest_hit(rows_ext: jnp.ndarray, perm: jnp.ndarray, counts,
                 jax.ShapeDtypeStruct((g, th, tw), jnp.int32),
             ],
             interpret=interpret,
-        )(rows_t, rays)
+        )(rows_nm, rays)
 
         t = t.reshape(-1)[:r]
         sid_local = sid.reshape(-1)[:r]

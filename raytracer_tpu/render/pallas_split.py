@@ -1,0 +1,477 @@
+"""Split-phase Pallas megakernel: brute non-triangle pre-pass + triangle-
+specialized packet BVH traversal. The fastest closest-hit path.
+
+Why splitting is exact (not an approximation):
+- For a shape CONTAINED in its BVH leaf box (spheres, triangles, finite
+  walls), box gating can never change the result: any ray that hits the
+  shape also hits every enclosing box, so the reference's traversal always
+  tests it (gpu_shader.comp:380-430). Contained shapes therefore render
+  identically under ANY acceleration structure — including none.
+- Only degenerate-basis walls (infinite planes, the scene-1 floor quirk)
+  extend beyond their leaf box; their visibility IS the reference tree's
+  leaf-box hit. They go into the brute pre-pass with their exact
+  reference-tree leaf box as a gate.
+
+So: all non-triangles (a handful per scene) are tested brute-force per tile
+with per-shape reference leaf-box gates, and triangles — 97% of the scene —
+run a lean traversal (plane+barycentric only, ~40 ops vs ~130 for the
+type-union body) over a triangle-only BVH whose shape is a pure performance
+choice. All nodes of that tree are t-cullable (contents contained).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracer_tpu.accel import bvh as bvh_mod
+from raytracer_tpu.accel.linearize import LinearBVH, linearize, \
+    shape_leaf_boxes
+from raytracer_tpu.config import RenderConfig
+from raytracer_tpu.core import camera as cam_ops
+from raytracer_tpu.core.scene import FlatScene, TRIANGLE
+from raytracer_tpu.core.types import Camera, Light
+from raytracer_tpu.geom import rowwise
+from raytracer_tpu.geom.aabb import shape_aabbs, shape_centers
+from raytracer_tpu.geom.direct import INF
+from raytracer_tpu.render import shading, whitted
+from raytracer_tpu.render.pallas_bvh import _row_intersect, _block_shape
+from raytracer_tpu.render.pallas_kernel import _auto_interpret
+
+# Shadow rays via the any-hit occlusion kernel; measured slower than
+# closest-hit shadows on v5e in round 1 — keep switchable for re-testing.
+USE_OCCLUSION = False
+
+# pre-pass row layout: geom pack (24) + gid + leaf box (6) = 31
+G_GID = 24
+G_B0X, G_B0Y, G_B0Z, G_B1X, G_B1Y, G_B1Z = 25, 26, 27, 28, 29, 30
+PRE_W = 31
+
+# triangle row layout (lean): n, pd, e1, e2, p1, p1e1, p1e2, r11, r01, r00,
+# gid
+T_NX, T_NY, T_NZ, T_PD = 0, 1, 2, 3
+T_E1X, T_E1Y, T_E1Z = 4, 5, 6
+T_E2X, T_E2Y, T_E2Z = 7, 8, 9
+T_P1X, T_P1Y, T_P1Z = 10, 11, 12
+T_S0, T_S1, T_R11, T_R01, T_R00 = 13, 14, 15, 16, 17
+T_GID = 18
+TRI_W = 19
+
+
+@jax.tree_util.register_pytree_node_class
+class SplitScene:
+    """Host-prepared device arrays for the split kernel (static per scene;
+    rebuilt on geometry changes). Registered pytree: array leaves + static
+    counts so it can flow through jit."""
+
+    def tree_flatten(self):
+        children = (self.leaf_start, self.leaf_count, self.skip, self.nodes,
+                    self.pre_rows, self.tri_rows)
+        aux = (self.n_other, self.n_tri, self.m, self.m_pad)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        (obj.leaf_start, obj.leaf_count, obj.skip, obj.nodes,
+         obj.pre_rows, obj.tri_rows) = children
+        obj.n_other, obj.n_tri, obj.m, obj.m_pad = aux
+        return obj
+
+    def __init__(self, scene: FlatScene, ref_bvh: LinearBVH,
+                 tri_max_depth: int = 20):
+        st = np.asarray(scene.shape_type)
+        tri_ids = np.nonzero(st == TRIANGLE)[0].astype(np.int32)
+        other_ids = np.nonzero(st != TRIANGLE)[0].astype(np.int32)
+        self.n_other = int(other_ids.shape[0])
+        self.n_tri = int(tri_ids.shape[0])
+
+        # --- pre-pass rows: non-tri shapes + reference-tree leaf boxes ----
+        rows = np.asarray(rowwise.pack_rows(scene))
+        if ref_bvh is not None:
+            bmin, bmax = shape_leaf_boxes(ref_bvh, scene.num_shapes)
+            bmin, bmax = np.asarray(bmin), np.asarray(bmax)
+        else:
+            bmin = np.full((scene.num_shapes, 3), -INF, np.float32)
+            bmax = np.full((scene.num_shapes, 3), INF, np.float32)
+        pre = np.zeros((max(self.n_other, 1), PRE_W), np.float32)
+        if self.n_other:
+            pre[:, :24] = rows[other_ids]
+            pre[:, G_GID] = other_ids.astype(np.float32)
+            pre[:, G_B0X:G_B0X + 3] = bmin[other_ids]
+            pre[:, G_B1X:G_B1X + 3] = bmax[other_ids]
+
+        # --- triangle-only BVH (pure perf choice; any tree is exact) ------
+        mins, maxs = shape_aabbs(scene)
+        centers = shape_centers(scene)
+        tri_scene_aabbs = (mins[tri_ids], maxs[tri_ids])
+        sub = scene.take(jnp.asarray(tri_ids))
+        tbvh = bvh_mod.build_bvh(sub, tri_max_depth,
+                                 aabbs=tri_scene_aabbs,
+                                 centers=centers[tri_ids])
+        lin = linearize(tbvh)
+        self.m = lin.num_nodes
+        self.m_pad = max(((self.m + 7) // 8) * 8, 8)
+        nodes = np.zeros((self.m_pad, 8), np.float32)
+        nodes[:self.m, 0:6] = np.asarray(lin.bounds)
+        self.nodes = jnp.asarray(nodes)
+        self.leaf_start = lin.leaf_start
+        self.leaf_count = lin.leaf_count
+        self.skip = lin.skip
+
+        # triangle rows in DFS-leaf order
+        perm = np.asarray(lin.perm)           # into tri subset
+        gids = tri_ids[perm]                  # global shape ids
+        p1 = np.asarray(scene.tri_p1)[gids]
+        p2 = np.asarray(scene.tri_p2)[gids]
+        p3 = np.asarray(scene.tri_p3)[gids]
+        n = np.asarray(scene.plane_normal)[gids]
+        pd = np.asarray(scene.plane_d)[gids]
+        e1 = p2 - p1
+        e2 = p3 - p1
+        d00 = (e1 * e1).sum(-1)
+        d01 = (e1 * e2).sum(-1)
+        d11 = (e2 * e2).sum(-1)
+        denom = d00 * d11 - d01 * d01
+        safe = np.where(denom == 0, 1.0, denom)
+        z = denom == 0
+        tri = np.zeros((max(self.n_tri, 1), TRI_W), np.float32)
+        if self.n_tri:
+            tri[:, T_NX:T_NX + 3] = n
+            tri[:, T_PD] = pd
+            tri[:, T_E1X:T_E1X + 3] = e1
+            tri[:, T_E2X:T_E2X + 3] = e2
+            tri[:, T_P1X:T_P1X + 3] = p1
+            tri[:, T_S0] = (p1 * e1).sum(-1)
+            tri[:, T_S1] = (p1 * e2).sum(-1)
+            tri[:, T_R11] = np.where(z, 0.0, d11 / safe)
+            tri[:, T_R01] = np.where(z, 0.0, d01 / safe)
+            tri[:, T_R00] = np.where(z, 0.0, d00 / safe)
+            tri[:, T_GID] = gids.astype(np.float32)
+        k_pad = max(((tri.shape[0] + 7) // 8) * 8, 8)
+        tri = np.pad(tri, ((0, k_pad - tri.shape[0]), (0, 0)))
+        self.tri_rows = jnp.asarray(tri)
+        pre_pad = max(((pre.shape[0] + 7) // 8) * 8, 8)
+        pre = np.pad(pre, ((0, pre_pad - pre.shape[0]), (0, 0)))
+        self.pre_rows = jnp.asarray(pre)
+
+    def device_args(self):
+        return (self.leaf_start, self.leaf_count, self.skip, self.nodes,
+                self.pre_rows, self.tri_rows)
+
+
+def _pre_intersect(pre_ref, i, ox, oy, oz, dx, dy, dz, aa,
+                   inv_dx, inv_dy, inv_dz, use_mt):
+    """Pre-pass shape test: union intersect + reference leaf-box gate."""
+    t, inner = _row_intersect(pre_ref, i, ox, oy, oz, dx, dy, dz, aa, use_mt)
+    tx0 = (pre_ref[i, G_B0X] - ox) * inv_dx
+    tx1 = (pre_ref[i, G_B1X] - ox) * inv_dx
+    ty0 = (pre_ref[i, G_B0Y] - oy) * inv_dy
+    ty1 = (pre_ref[i, G_B1Y] - oy) * inv_dy
+    tz0 = (pre_ref[i, G_B0Z] - oz) * inv_dz
+    tz1 = (pre_ref[i, G_B1Z] - oz) * inv_dz
+    tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                   jnp.minimum(ty0, ty1)),
+                       jnp.minimum(tz0, tz1))
+    tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                   jnp.maximum(ty0, ty1)),
+                       jnp.maximum(tz0, tz1))
+    inner = inner & (tmax >= tmin) & (tmax > 0)
+    return t, inner
+
+
+def _tri_test(tri_ref, i, ox, oy, oz, dx, dy, dz, use_mt):
+    """Lean triangle test (barycentric, gpu_shader.comp:196-240, or MT
+    :170-195)."""
+    if use_mt:
+        e1x = tri_ref[i, T_E1X]
+        e1y = tri_ref[i, T_E1Y]
+        e1z = tri_ref[i, T_E1Z]
+        e2x = tri_ref[i, T_E2X]
+        e2y = tri_ref[i, T_E2Y]
+        e2z = tri_ref[i, T_E2Z]
+        hcx = dy * e2z - dz * e2y
+        hcy = dz * e2x - dx * e2z
+        hcz = dx * e2y - dy * e2x
+        a = e1x * hcx + e1y * hcy + e1z * hcz
+        ok = jnp.abs(a) >= 1e-5
+        f = 1.0 / jnp.where(ok, a, 1.0)
+        smx = ox - tri_ref[i, T_P1X]
+        smy = oy - tri_ref[i, T_P1Y]
+        smz = oz - tri_ref[i, T_P1Z]
+        u = f * (smx * hcx + smy * hcy + smz * hcz)
+        ok = ok & (u >= 0) & (u <= 1)
+        qx = smy * e1z - smz * e1y
+        qy = smz * e1x - smx * e1z
+        qz = smx * e1y - smy * e1x
+        v = f * (dx * qx + dy * qy + dz * qz)
+        ok = ok & (v >= 0) & (u + v <= 1)
+        t = f * (e2x * qx + e2y * qy + e2z * qz)
+        return t, ok & (t > 0)
+    nx = tri_ref[i, T_NX]
+    ny = tri_ref[i, T_NY]
+    nz = tri_ref[i, T_NZ]
+    d_n = dx * nx + dy * ny + dz * nz
+    o_n = ox * nx + oy * ny + oz * nz
+    t = -(tri_ref[i, T_PD] + o_n) / jnp.where(d_n == 0, 1.0, d_n)
+    inner = (d_n > 0) & (t > 0)
+    tw = jnp.where(inner, t, 0.0)
+    hx = ox + tw * dx
+    hy = oy + tw * dy
+    hz = oz + tw * dz
+    d20 = (hx * tri_ref[i, T_E1X] + hy * tri_ref[i, T_E1Y]
+           + hz * tri_ref[i, T_E1Z] - tri_ref[i, T_S0])
+    d21 = (hx * tri_ref[i, T_E2X] + hy * tri_ref[i, T_E2Y]
+           + hz * tri_ref[i, T_E2Z] - tri_ref[i, T_S1])
+    v = tri_ref[i, T_R11] * d20 - tri_ref[i, T_R01] * d21
+    w = tri_ref[i, T_R00] * d21 - tri_ref[i, T_R01] * d20
+    u = 1.0 - v - w
+    inner = inner & ~((u < 0) | (v < 0) | (w < 0))
+    return t, inner
+
+
+def _split_kernel(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
+                  pre_ref, tri_ref, rays_ref, t_ref, gid_ref,
+                  *, m, n_other, use_mt, occlusion):
+    ox = rays_ref[0, 0]
+    oy = rays_ref[1, 0]
+    oz = rays_ref[2, 0]
+    dx = rays_ref[3, 0]
+    dy = rays_ref[4, 0]
+    dz = rays_ref[5, 0]
+    if occlusion:
+        limit = rays_ref[6, 0]          # per-lane light distance
+    aa = dx * dx + dy * dy + dz * dz
+    inv_dx = 1.0 / dx
+    inv_dy = 1.0 / dy
+    inv_dz = 1.0 / dz
+
+    shape = ox.shape
+    t0 = jnp.full(shape, INF, jnp.float32)
+    g0 = jnp.full(shape, -1.0, jnp.float32)
+
+    # ---- pre-pass: non-triangle shapes, brute with leaf-box gates --------
+    def pre_body(i, carry):
+        t_best, gid_best = carry
+        t, inner = _pre_intersect(pre_ref, i, ox, oy, oz, dx, dy, dz, aa,
+                                  inv_dx, inv_dy, inv_dz, use_mt)
+        if occlusion:
+            better = inner & (t < limit) & (t_best == INF)
+            return (jnp.where(better, 0.0, t_best), gid_best)
+        better = inner & (t < t_best)
+        return (jnp.where(better, t, t_best),
+                jnp.where(better, pre_ref[i, G_GID], gid_best))
+
+    if occlusion:
+        # reuse t_best as "not yet occluded" flag: INF = free, 0 = occluded
+        carry = (t0, g0)
+        if n_other:
+            carry = jax.lax.fori_loop(0, n_other, pre_body, carry)
+        occ_state, _ = carry
+        occluded0 = occ_state != INF
+    else:
+        carry = (t0, g0)
+        if n_other:
+            carry = jax.lax.fori_loop(0, n_other, pre_body, carry)
+    t_best0, gid_best0 = carry
+
+    # ---- triangle packet traversal ---------------------------------------
+    def cond(state):
+        return state[0] < m
+
+    def body(state):
+        ptr, k, t_best, gid_best = state
+        entering = k == 0
+
+        b0x = nodes_ref[ptr, 0]
+        b0y = nodes_ref[ptr, 1]
+        b0z = nodes_ref[ptr, 2]
+        b1x = nodes_ref[ptr, 3]
+        b1y = nodes_ref[ptr, 4]
+        b1z = nodes_ref[ptr, 5]
+        tx0 = (b0x - ox) * inv_dx
+        tx1 = (b1x - ox) * inv_dx
+        ty0 = (b0y - oy) * inv_dy
+        ty1 = (b1y - oy) * inv_dy
+        tz0 = (b0z - oz) * inv_dz
+        tz1 = (b1z - oz) * inv_dz
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                       jnp.minimum(ty0, ty1)),
+                           jnp.minimum(tz0, tz1))
+        tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                       jnp.maximum(ty0, ty1)),
+                           jnp.maximum(tz0, tz1))
+        if occlusion:
+            # lanes already occluded never probe; subtree can occlude only
+            # if its entry t is under the light distance
+            probe = ((tmax >= tmin) & (tmax > 0) & (t_best != 0.0)
+                     & (tmin <= limit))
+        else:
+            # every triangle is contained: t-culling is always safe
+            probe = (tmax >= tmin) & (tmax > 0) & (tmin <= t_best)
+        any_hit = jnp.any(probe)
+
+        st = leaf_start_ref[ptr]
+        cnt = leaf_count_ref[ptr]
+        sk = skip_ref[ptr]
+        is_leaf = cnt > 0
+
+        start_leaf = entering & any_hit & is_leaf
+        in_leaf = start_leaf | jnp.logical_not(entering)
+
+        row = st + k
+        t, inner = _tri_test(tri_ref, row, ox, oy, oz, dx, dy, dz, use_mt)
+        if occlusion:
+            hit_now = inner & in_leaf & (t < limit)
+            t_best = jnp.where(hit_now, 0.0, t_best)
+        else:
+            better = inner & in_leaf & (t < t_best)
+            t_best = jnp.where(better, t, t_best)
+            gid_best = jnp.where(better, tri_ref[row, T_GID], gid_best)
+
+        k_next = k + 1
+        leaf_done = in_leaf & (k_next >= cnt)
+        go_deeper = entering & any_hit & jnp.logical_not(is_leaf)
+        stay = (in_leaf & jnp.logical_not(leaf_done)).astype(jnp.int32)
+        deeper = go_deeper.astype(jnp.int32)
+        new_ptr = stay * ptr + (1 - stay) * (deeper * (ptr + 1)
+                                             + (1 - deeper) * sk)
+        new_k = stay * k_next
+        return new_ptr, new_k, t_best, gid_best
+
+    if occlusion:
+        t_occ = jnp.where(occluded0, 0.0, INF)
+        _, _, t_occ, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.int32(0), t_occ, g0))
+        t_ref[0] = t_occ
+        gid_ref[0] = g0
+    else:
+        _, _, t_best, gid_best = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.int32(0), t_best0, gid_best0))
+        t_ref[0] = t_best
+        gid_ref[0] = gid_best
+
+
+def make_closest_hit(split: SplitScene, cfg: RenderConfig):
+    """closest_hit(o, d) -> (t, sid, hit) plus .occlusion(o, d, max_t)."""
+    interpret = _auto_interpret(cfg)
+    th, tw = cfg.tile_h, cfg.tile_w
+    args = split.device_args()
+
+    def run(o, d, extra, occlusion):
+        r = o.shape[0]
+        tile = th * tw
+        pad = (-r) % tile
+        if pad:
+            o = jnp.pad(o, ((0, pad), (0, 0)))
+            d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+            if extra is not None:
+                extra = jnp.pad(extra, ((0, pad),))
+        g = o.shape[0] // tile
+        comps = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2]]
+        if extra is not None:
+            comps.append(extra)
+        nrow = len(comps)
+        rays = jnp.stack(comps).reshape(nrow, g, th, tw)
+
+        kern = functools.partial(
+            _split_kernel, m=split.m, n_other=split.n_other,
+            use_mt=cfg.use_mt, occlusion=occlusion)
+        spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(g,),
+            in_specs=[
+                pl.BlockSpec(split.nodes.shape, lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(split.pre_rows.shape, lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(split.tri_rows.shape, lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nrow, 1, th, tw), lambda i, *_: (0, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, th, tw), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((1, th, tw), lambda i, *_: (i, 0, 0)),
+            ],
+        )
+        t, gid = pl.pallas_call(
+            kern,
+            grid_spec=spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((g, th, tw), jnp.float32),
+                jax.ShapeDtypeStruct((g, th, tw), jnp.float32),
+            ],
+            interpret=interpret,
+        )(*args, rays)
+        return t.reshape(-1)[:r], gid.reshape(-1)[:r]
+
+    @jax.jit
+    def closest_hit(o, d):
+        t, gid = run(o, d, None, occlusion=False)
+        hit = t < INF
+        sid = jnp.maximum(gid, 0.0).astype(jnp.int32)
+        return t, sid, hit
+
+    @jax.jit
+    def occlusion(o, d, max_t):
+        t, _ = run(o, d, max_t, occlusion=True)
+        return t == 0.0
+
+    closest_hit.occlusion = occlusion
+    return closest_hit
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _render_impl(scene: FlatScene, split: SplitScene, camera, light,
+                 cfg: RenderConfig):
+    h, w = cfg.height, cfg.width
+    o, d = cam_ops.camera_rays(camera, w, h)
+    ys = jnp.arange(h, dtype=jnp.float32) / h
+    bg = jnp.broadcast_to(shading.background(ys)[:, None, :], (h, w, 3))
+
+    closest = make_closest_hit(split, cfg)
+
+    tile = cfg.tile_h * cfg.tile_w
+    bh, bw = _block_shape(tile)
+    hp = -(-h // bh) * bh
+    wp = -(-w // bw) * bw
+
+    def to_blocks(x, fill=0.0):
+        x = jnp.pad(x, ((0, hp - h), (0, wp - w), (0, 0)),
+                    constant_values=fill)
+        x = x.reshape(hp // bh, bh, wp // bw, bw, 3)
+        return x.transpose(0, 2, 1, 3, 4).reshape(-1, 3)
+
+    o_b = to_blocks(o, fill=whitted.PARK_ORIGIN)
+    d_b = to_blocks(d, fill=whitted._PARK_DIR)
+    bg_b = to_blocks(bg)
+
+    occl = closest.occlusion if USE_OCCLUSION else None
+    colors = whitted.trace(scene, light, closest, o_b, d_b, bg_b, cfg,
+                           occlusion_fn=occl)
+    colors = colors.reshape(hp // bh, wp // bw, bh, bw, 3)
+    colors = colors.transpose(0, 2, 1, 3, 4).reshape(hp, wp, 3)
+    return colors[:h, :w]
+
+
+def prepare(scene: FlatScene, ref_bvh: LinearBVH,
+            tri_max_depth: int = 20) -> SplitScene:
+    return SplitScene(scene, ref_bvh, tri_max_depth)
+
+
+def render(scene: FlatScene, bvh, camera: Camera, light: Light,
+           cfg: RenderConfig, split: SplitScene = None,
+           tri_max_depth: int = 20) -> jnp.ndarray:
+    """Render (H, W, 3) with the split-phase megakernel. ``bvh`` is the
+    reference LinearBVH (for exact leaf-box gates on non-triangles); pass a
+    prebuilt ``split`` to skip host prep."""
+    if split is None:
+        split = SplitScene(scene, bvh, tri_max_depth)
+    return _render_impl(scene, split, camera, light, cfg)

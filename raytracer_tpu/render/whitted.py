@@ -35,11 +35,22 @@ from raytracer_tpu.render import shading
 ClosestHitFn = Callable[[jnp.ndarray, jnp.ndarray],
                         Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]
 
+# Terminated lanes get parked on a ray that rejects every AABB/shape at the
+# first test (origin far beyond the scene, pointing away): packet/wavefront
+# traversals then spend zero iterations on dead lanes.
+PARK_ORIGIN = 2e30
+_PARK_DIR = 0.5773502691896258  # 1/sqrt(3): unit, no zero components
+
 
 def trace(scene: FlatScene, light: Light, closest_hit_fn: ClosestHitFn,
           o: jnp.ndarray, d: jnp.ndarray, bg: jnp.ndarray,
-          cfg: RenderConfig) -> jnp.ndarray:
-    """Trace R rays to completion. o, d, bg: (R, 3). Returns colors (R, 3)."""
+          cfg: RenderConfig, occlusion_fn=None) -> jnp.ndarray:
+    """Trace R rays to completion. o, d, bg: (R, 3). Returns colors (R, 3).
+
+    occlusion_fn(o, d, max_t) -> bool mask: optional any-hit query used for
+    shadow rays instead of the closest-hit (identical result — occluded iff
+    ANY INNER hit is closer than the light — but lets kernels terminate
+    early)."""
     light_pos = light.position
     light_color = light.color
     shadow_eps = jnp.float32(cfg.shadow_eps)
@@ -70,9 +81,12 @@ def trace(scene: FlatScene, light: Light, closest_hit_fn: ClosestHitFn,
         # Shadow ray (comp:466-480 / :562-580).
         s_o = p + n * shadow_eps
         s_d = normalize(light_pos - p, eps=1e-30)
-        s_t, _, s_hit = closest_hit_fn(s_o, s_d)
         light_dist = jnp.linalg.norm(light_pos - p, axis=-1)
-        in_shadow = s_hit & (s_t < light_dist)
+        if occlusion_fn is not None:
+            in_shadow = occlusion_fn(s_o, s_d, light_dist)
+        else:
+            s_t, _, s_hit = closest_hit_fn(s_o, s_d)
+            in_shadow = s_hit & (s_t < light_dist)
 
         color = shading.phong(p, n, d, light_pos, light_color, mat_color,
                               k_a, k_d, k_s, shin, attenuate=True)
@@ -97,8 +111,10 @@ def trace(scene: FlatScene, light: Light, closest_hit_fn: ClosestHitFn,
             new_atten = atten * k_s[..., None]
 
         atten = jnp.where(cont[..., None], new_atten, atten)
-        o = jnp.where(cont[..., None], new_o, o)
-        d = jnp.where(cont[..., None], new_d, d)
+        park_o = jnp.full_like(o, PARK_ORIGIN)
+        park_d = jnp.full_like(d, _PARK_DIR)
+        o = jnp.where(cont[..., None], new_o, park_o)
+        d = jnp.where(cont[..., None], new_d, park_d)
         return o, d, atten, accum, cont
 
     _, _, _, accum, _ = jax.lax.fori_loop(

@@ -26,7 +26,7 @@ class TestSphere:
         t, inner = direct.intersect_sphere(V(0, 5, 5), V(0, 0, -1),
                                            V(0, 0, 0), 1.0)
         assert not bool(inner)
-        assert float(t) == INF
+        assert float(t) >= 1e29
 
     def test_inside_is_outer_not_hit(self):
         # camera inside: t1 < 0, t2 > 0 -> OUTER -> ignored

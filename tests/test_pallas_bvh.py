@@ -1,0 +1,71 @@
+"""Packet-traversal and split-phase Pallas kernels vs the wavefront
+renderer (interpret mode on CPU). The wavefront renderer is itself verified
+bit-exact against the box-gated oracle (test_wavefront.py), so agreement
+here closes the chain kernel -> wavefront -> oracle -> reference semantics."""
+
+import numpy as np
+import pytest
+
+from raytracer_tpu.accel import build_bvh, linearize
+from raytracer_tpu.config import RenderConfig
+from raytracer_tpu.render import pallas_bvh, pallas_split, wavefront
+from raytracer_tpu.scenes import generate_scene1, generate_scene3
+
+CFG = RenderConfig(width=32, height=24, max_bounces=3, use_bvh=True,
+                   ray_chunk=768, tile_h=8, tile_w=128)
+
+
+@pytest.fixture(scope="module")
+def scene1():
+    sc = generate_scene1()
+    lin = linearize(build_bvh(sc.flat, sc.bvh_max_depth))
+    return sc, lin
+
+
+@pytest.mark.parametrize("t_cull", [False, True])
+def test_packet_matches_wavefront_scene1(scene1, t_cull):
+    sc, lin = scene1
+    img_w = np.asarray(wavefront.render(sc.flat, lin, sc.camera, sc.light,
+                                        CFG))
+    img_p = np.asarray(pallas_bvh.render(sc.flat, lin, sc.camera, sc.light,
+                                         CFG, t_cull=t_cull))
+    np.testing.assert_allclose(img_p, img_w, atol=2e-5)
+
+
+@pytest.mark.parametrize("kw", [{}, {"use_mt": True}, {"use_fresnel": True}])
+def test_split_matches_wavefront_scene1(scene1, kw):
+    sc, lin = scene1
+    cfg = CFG.replace(**kw)
+    img_w = np.asarray(wavefront.render(sc.flat, lin, sc.camera, sc.light,
+                                        cfg))
+    img_s = np.asarray(pallas_split.render(sc.flat, lin, sc.camera,
+                                           sc.light, cfg))
+    np.testing.assert_allclose(img_s, img_w, atol=2e-5)
+
+
+def test_split_occlusion_mode_matches(scene1):
+    sc, lin = scene1
+    old = pallas_split.USE_OCCLUSION
+    try:
+        pallas_split.USE_OCCLUSION = True
+        img_o = np.asarray(pallas_split.render(sc.flat, lin, sc.camera,
+                                               sc.light, CFG))
+        pallas_split.USE_OCCLUSION = False
+        img_c = np.asarray(pallas_split.render(sc.flat, lin, sc.camera,
+                                               sc.light, CFG))
+    finally:
+        pallas_split.USE_OCCLUSION = old
+    np.testing.assert_allclose(img_o, img_c, atol=2e-5)
+
+
+def test_scene3_kernels(scene1):
+    sc = generate_scene3()
+    lin = linearize(build_bvh(sc.flat, 0))
+    img_w = np.asarray(wavefront.render(sc.flat, lin, sc.camera, sc.light,
+                                        CFG))
+    img_p = np.asarray(pallas_bvh.render(sc.flat, lin, sc.camera, sc.light,
+                                         CFG))
+    img_s = np.asarray(pallas_split.render(sc.flat, lin, sc.camera,
+                                           sc.light, CFG))
+    np.testing.assert_allclose(img_p, img_w, atol=2e-5)
+    np.testing.assert_allclose(img_s, img_w, atol=2e-5)
