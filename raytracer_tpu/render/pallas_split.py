@@ -428,15 +428,20 @@ def make_closest_hit(split: SplitScene, cfg: RenderConfig):
     return closest_hit
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "differentiable"))
 def _render_impl(scene: FlatScene, split: SplitScene, camera, light,
-                 cfg: RenderConfig):
+                 cfg: RenderConfig, differentiable: bool = False):
     h, w = cfg.height, cfg.width
     o, d = cam_ops.camera_rays(camera, w, h)
     ys = jnp.arange(h, dtype=jnp.float32) / h
     bg = jnp.broadcast_to(shading.background(ys)[:, None, :], (h, w, 3))
 
     closest = make_closest_hit(split, cfg)
+    if differentiable:
+        from raytracer_tpu.diff.kernel_vjp import make_differentiable_closest
+        occl = closest.occlusion
+        closest = make_differentiable_closest(scene, closest, cfg.use_mt)
+        closest.occlusion = occl
 
     tile = cfg.tile_h * cfg.tile_w
     bh, bw = _block_shape(tile)
@@ -468,10 +473,14 @@ def prepare(scene: FlatScene, ref_bvh: LinearBVH,
 
 def render(scene: FlatScene, bvh, camera: Camera, light: Light,
            cfg: RenderConfig, split: SplitScene = None,
-           tri_max_depth: int = 20) -> jnp.ndarray:
+           tri_max_depth: int = 20,
+           differentiable: bool = False) -> jnp.ndarray:
     """Render (H, W, 3) with the split-phase megakernel. ``bvh`` is the
     reference LinearBVH (for exact leaf-box gates on non-triangles); pass a
-    prebuilt ``split`` to skip host prep."""
+    prebuilt ``split`` to skip host prep. With ``differentiable`` the image
+    carries gradients w.r.t. scene/camera/light (diff/kernel_vjp.py);
+    note the SplitScene tables are rebuilt from the CURRENT scene by the
+    caller when geometry changes."""
     if split is None:
         split = SplitScene(scene, bvh, tri_max_depth)
-    return _render_impl(scene, split, camera, light, cfg)
+    return _render_impl(scene, split, camera, light, cfg, differentiable)

@@ -1,0 +1,95 @@
+"""Gradient correctness: oracle autodiff vs finite differences vs the
+differentiable kernel path (SURVEY.md §4 implication: pixel gradients
+checked against finite differences)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracer_tpu.accel import build_bvh, linearize
+from raytracer_tpu.config import RenderConfig
+from raytracer_tpu.core import camera as cam_ops
+from raytracer_tpu.core.scene import SceneBuilder
+from raytracer_tpu.core.types import Light, Material
+from raytracer_tpu.render import pallas_split
+from raytracer_tpu.render.reference import render as render_ref
+
+CFG = RenderConfig(width=24, height=18, max_bounces=2, use_bvh=False,
+                   ray_chunk=432, tile_h=8, tile_w=128)
+
+
+def _scene():
+    b = SceneBuilder()
+    b.add_sphere((0, 0, -5), 1.2, Material(color=(0.9, 0.3, 0.2), fresnel=0,
+                 ambient=0.2, diffuse=0.8, specular=0.4))
+    b.add_sphere((1.5, 0.8, -7), 0.8, Material(color=(0.2, 0.8, 0.3)))
+    b.add_triangle((-3, -1, -6), (-1, -1, -6), (-2, 1, -6))
+    scene = b.build()
+    cam = cam_ops.from_euler(position=(0, 0, 0), fov_deg=60,
+                             aspect=CFG.width / CFG.height)
+    light = Light((0, 3, 0), (1, 1, 1), 6.0)
+    return scene, cam, light
+
+
+def test_oracle_grad_matches_finite_differences():
+    scene, cam, light = _scene()
+
+    def loss(radius):
+        s = scene.replace(sphere_radius=scene.sphere_radius.at[0].set(radius))
+        return jnp.sum(render_ref(s, cam, light, CFG))
+
+    g = float(jax.grad(loss)(jnp.float32(1.2)))
+    eps = 1e-3
+    fd = (float(loss(jnp.float32(1.2 + eps)))
+          - float(loss(jnp.float32(1.2 - eps)))) / (2 * eps)
+    assert np.isclose(g, fd, rtol=0.05), (g, fd)
+
+
+@pytest.mark.parametrize("field", ["mat_color", "sphere_center",
+                                   "sphere_radius"])
+def test_kernel_grads_match_oracle(field):
+    """Kernel-path gradients (stop-grad hits + re-derived t) equal oracle
+    autodiff gradients where the discrete structure is identical."""
+    scene, cam, light = _scene()
+    bvh = linearize(build_bvh(scene, 4))
+    cfg = CFG.replace(use_bvh=True)
+    split = pallas_split.prepare(scene, bvh)
+
+    def loss_oracle(v):
+        s = scene.replace(**{field: v})
+        from raytracer_tpu.accel.linearize import shape_leaf_boxes
+        lb = shape_leaf_boxes(bvh, scene.num_shapes)
+        return jnp.sum(render_ref(s, cam, light, cfg, leaf_boxes=lb))
+
+    def loss_kernel(v):
+        s = scene.replace(**{field: v})
+        # NOTE: split tables hold the ORIGINAL geometry for traversal; the
+        # gradient flows through the scene arrays via the re-derivation.
+        return jnp.sum(pallas_split.render(s, bvh, cam, light, cfg,
+                                           split=split, differentiable=True))
+
+    v0 = getattr(scene, field)
+    g_o = np.asarray(jax.grad(loss_oracle)(v0))
+    g_k = np.asarray(jax.grad(loss_kernel)(v0))
+    assert np.isfinite(g_k).all()
+    np.testing.assert_allclose(g_k, g_o, rtol=1e-3, atol=1e-5)
+
+
+def test_light_and_camera_grads_finite():
+    scene, cam, light = _scene()
+    bvh = linearize(build_bvh(scene, 4))
+    cfg = CFG.replace(use_bvh=True)
+    split = pallas_split.prepare(scene, bvh)
+
+    def loss(lp, cp):
+        lt = Light(lp, light.base_color, light.intensity)
+        c2 = type(cam)(cp, cam.front, cam.up, cam.right, cam.fov_deg,
+                       cam.aspect)
+        return jnp.sum(pallas_split.render(scene, bvh, c2, lt, cfg,
+                                           split=split, differentiable=True))
+
+    gl, gc = jax.grad(loss, argnums=(0, 1))(light.position, cam.position)
+    assert np.isfinite(np.asarray(gl)).all()
+    assert np.isfinite(np.asarray(gc)).all()
+    assert np.abs(np.asarray(gl)).max() > 0
