@@ -8,12 +8,25 @@ Tries the available renderers and reports the fastest.
 """
 
 import json
+import signal
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
 BASELINE_FPS = 30.0
+
+# Per-candidate wall-clock budget: the remote Mosaic compile service can
+# wedge indefinitely; skip to the next renderer rather than hang the bench.
+CANDIDATE_TIMEOUT_S = 420
+
+
+class _Timeout(Exception):
+    pass
+
+
+def _alarm(_sig, _frm):
+    raise _Timeout()
 
 
 def main():
@@ -48,20 +61,27 @@ def main():
 
     best = None
     details = {}
+    signal.signal(signal.SIGALRM, _alarm)
     for name, fn in candidates:
         try:
+            signal.alarm(CANDIDATE_TIMEOUT_S)
             jax.block_until_ready(fn())  # compile + warm
             times = []
             for _ in range(5):
                 t0 = time.perf_counter()
                 jax.block_until_ready(fn())
                 times.append(time.perf_counter() - t0)
+            signal.alarm(0)
             mean = sum(times) / len(times)
             details[name] = round(1.0 / mean, 3)
             if best is None or mean < best[1]:
                 best = (name, mean)
+        except _Timeout:
+            details[name] = "error: compile/run timeout"
         except Exception as e:  # renderer unavailable on this backend
             details[name] = f"error: {type(e).__name__}"
+        finally:
+            signal.alarm(0)
     if best is None:
         print(json.dumps({"metric": "scene1_800x600_fps", "value": 0.0,
                           "unit": "fps", "vs_baseline": 0.0,

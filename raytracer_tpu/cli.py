@@ -71,30 +71,47 @@ def cmd_render(args):
 def cmd_animate(args):
     import jax
     import numpy as np
-    from raytracer_tpu.anim import animate_scene
     from raytracer_tpu.io import write_png
     from raytracer_tpu.utils.timing import FrameTimer
 
     cfg, sc, bvh = _build(args)
     os.makedirs(args.out_dir, exist_ok=True)
     timer = FrameTimer()
-    flat = sc.flat
     dt = 1.0 / args.fps_assumed
-    for frame in range(args.frames):
-        t = frame * dt
-        flat = animate_scene(sc, flat, elapsed_time=t, delta_time=dt)
-        if bvh is not None and (sc.animated_indices):
-            # reference updateBVH: refit-grow each animated frame
-            from raytracer_tpu.accel import build_bvh as _bb, linearize as _ln
-            from raytracer_tpu.accel.bvh import refit_grow
-            # rebuild lazily every args.refit_every frames, refit otherwise
-            if frame % max(args.refit_every, 1) == 0 and frame:
-                bvh = _ln(_bb(flat, sc.bvh_max_depth))
-        img = jax.block_until_ready(
-            _render_frame(cfg, sc, flat, bvh, args.renderer))
-        timer.tick()
-        path = os.path.join(args.out_dir, f"frame_{frame:04d}.png")
-        write_png(path, np.asarray(img))
+
+    if args.dynamic:
+        # fully on-device: animate + LBVH rebuild + render in one jit
+        from raytracer_tpu.render.dynamic import make_frame_fn
+        renderer = "pallas" if args.renderer.startswith("pallas") else \
+            "wavefront"
+        frame_fn = make_frame_fn(sc, cfg, renderer=renderer)
+        flat = sc.flat
+        for frame in range(args.frames):
+            img, flat = frame_fn(flat, sc.camera, sc.light, frame * dt, dt)
+            img = jax.block_until_ready(img)
+            timer.tick()
+            write_png(os.path.join(args.out_dir,
+                                   f"frame_{frame:04d}.png"),
+                      np.asarray(img))
+    else:
+        # reference-style host loop: animate + host rebuild every
+        # refit_every frames
+        from raytracer_tpu.anim import animate_scene
+        flat = sc.flat
+        for frame in range(args.frames):
+            t = frame * dt
+            flat = animate_scene(sc, flat, elapsed_time=t, delta_time=dt)
+            if bvh is not None and sc.animated_indices:
+                from raytracer_tpu.accel import build_bvh as _bb, \
+                    linearize as _ln
+                if frame % max(args.refit_every, 1) == 0 and frame:
+                    bvh = _ln(_bb(flat, sc.bvh_max_depth))
+            img = jax.block_until_ready(
+                _render_frame(cfg, sc, flat, bvh, args.renderer))
+            timer.tick()
+            write_png(os.path.join(args.out_dir,
+                                   f"frame_{frame:04d}.png"),
+                      np.asarray(img))
     print(f"{args.frames} frames -> {args.out_dir} "
           f"(last fps={timer.fps:.1f})")
 
@@ -146,6 +163,8 @@ def main(argv=None):
     sp.add_argument("--frames", type=int, default=10)
     sp.add_argument("--fps-assumed", type=float, default=30.0)
     sp.add_argument("--refit-every", type=int, default=1)
+    sp.add_argument("--dynamic", action="store_true",
+                    help="on-device animate + LBVH rebuild (one jit/frame)")
     sp.add_argument("--out-dir", default="frames")
     sp.set_defaults(fn=cmd_animate)
 

@@ -87,3 +87,77 @@ def shape_centers(scene: FlatScene) -> np.ndarray:
                         + np.asarray(scene.tri_p2)[tri]
                         + np.asarray(scene.tri_p3)[tri]) / 3.0
     return centers
+
+
+# ---------------------------------------------------------------------------
+# jnp variants (traceable) for on-device per-frame rebuilds.
+
+import jax.numpy as jnp
+from raytracer_tpu.geom.direct import INF
+
+
+def wall_end_jnp(normal, start, width, height):
+    """Wall::end() (wall.hpp:16-31) as a traceable function; inputs (N,3)/
+    (N,)."""
+    n = normal
+    use_x = jnp.abs(n[:, 0]) > jnp.abs(n[:, 1])
+    zeros = jnp.zeros_like(n[:, 0])
+    t1 = jnp.where(use_x[:, None],
+                   jnp.stack([-n[:, 2], zeros, n[:, 0]], -1),
+                   jnp.stack([zeros, -n[:, 2], n[:, 1]], -1))
+    t1n = jnp.linalg.norm(t1, axis=-1, keepdims=True)
+    t1 = t1 / jnp.where(t1n > 0, t1n, 1.0)
+    t2 = jnp.cross(n, t1)
+    t2n = jnp.linalg.norm(t2, axis=-1, keepdims=True)
+    t2 = t2 / jnp.where(t2n > 0, t2n, 1.0)
+    return start + width[:, None] * t1 + height[:, None] * t2
+
+
+def shape_aabbs_jnp(scene):
+    """Traceable per-shape AABBs ((N,3) min/max). Bare planes get ZERO
+    boxes (they must not enter a rebuilt BVH; reference scenes never put
+    them in one — BoundingBox.hpp:87-95)."""
+    from raytracer_tpu.core.scene import SPHERE, PLANE, WALL, TRIANGLE
+
+    st = scene.shape_type
+    c = scene.sphere_center
+    r = scene.sphere_radius[:, None]
+    sph_min, sph_max = c - r, c + r
+
+    end = wall_end_jnp(scene.plane_normal, scene.wall_start,
+                       scene.wall_width, scene.wall_height)
+    wall_min = jnp.minimum(scene.wall_start, end)
+    wall_max = jnp.maximum(scene.wall_start, end)
+
+    tri_min = jnp.minimum(jnp.minimum(scene.tri_p1, scene.tri_p2),
+                          scene.tri_p3)
+    tri_max = jnp.maximum(jnp.maximum(scene.tri_p1, scene.tri_p2),
+                          scene.tri_p3)
+
+    is_s = (st == SPHERE)[:, None]
+    is_w = (st == WALL)[:, None]
+    is_t = (st == TRIANGLE)[:, None]
+    mins = jnp.where(is_s, sph_min,
+                     jnp.where(is_w, wall_min,
+                               jnp.where(is_t, tri_min, 0.0)))
+    maxs = jnp.where(is_s, sph_max,
+                     jnp.where(is_w, wall_max,
+                               jnp.where(is_t, tri_max, 0.0)))
+    return mins, maxs
+
+
+def shape_centers_jnp(scene):
+    """Traceable split/Morton centers (main.cpp:1127-1153 semantics)."""
+    from raytracer_tpu.core.scene import SPHERE, WALL, TRIANGLE
+
+    st = scene.shape_type
+    end = wall_end_jnp(scene.plane_normal, scene.wall_start,
+                       scene.wall_width, scene.wall_height)
+    wall_c = (scene.wall_start + end) * 0.5
+    tri_c = (scene.tri_p1 + scene.tri_p2 + scene.tri_p3) / 3.0
+    is_s = (st == SPHERE)[:, None]
+    is_w = (st == WALL)[:, None]
+    is_t = (st == TRIANGLE)[:, None]
+    return jnp.where(is_s, scene.sphere_center,
+                     jnp.where(is_w, wall_c,
+                               jnp.where(is_t, tri_c, 0.0)))
