@@ -48,6 +48,14 @@ def main():
         candidates.append((name, fn))
 
     try:
+        from raytracer_tpu.render import pallas_split
+
+        split = pallas_split.prepare(sc.flat, bvh, tri_max_depth=20)
+        add("pallas_split", lambda: pallas_split.render(
+            sc.flat, bvh, sc.camera, sc.light, cfg, split=split))
+    except Exception:
+        pass
+    try:
         from raytracer_tpu.render import pallas_bvh
 
         add("pallas_bvh", lambda: pallas_bvh.render(sc.flat, bvh, sc.camera,

@@ -540,9 +540,21 @@ def _render_impl(scene: FlatScene, lin: LinearBVH, cull_flags, camera, light,
     return colors[:h, :w]
 
 
+# host-side cullable-flag cache: the numpy computation walks every node in
+# Python and must not run per frame. Keyed by the BVH buffer identity.
+_FLAGS_CACHE: dict = {}
+
+
 def render(scene: FlatScene, bvh: LinearBVH, camera: Camera, light: Light,
            cfg: RenderConfig, t_cull: bool = True) -> jnp.ndarray:
     """Render (H, W, 3) with the packet-traversal BVH megakernel."""
-    flags = (jnp.asarray(node_cullable_flags(bvh, scene))
-             if t_cull else None)
+    flags = None
+    if t_cull:
+        key = id(bvh.bounds)
+        flags = _FLAGS_CACHE.get(key)
+        if flags is None:
+            flags = jnp.asarray(node_cullable_flags(bvh, scene))
+            if len(_FLAGS_CACHE) > 16:
+                _FLAGS_CACHE.clear()
+            _FLAGS_CACHE[key] = flags
     return _render_impl(scene, bvh, flags, camera, light, cfg, t_cull)
