@@ -18,6 +18,44 @@ import sys
 import time
 
 
+def _apply_edits(sc, args):
+    """Live-editing knobs from the reference's ImGui panel
+    (src/main.cpp:384-429: material editor, light color/intensity/xyz) as
+    CLI flags operating on the scene pytree."""
+    import jax.numpy as jnp
+    import numpy as np
+    from raytracer_tpu.core.types import Light
+
+    flat = sc.flat
+    for spec in args.material or []:
+        # idx:field=value[,value,...] e.g. 0:color=1,0,0 or 4:specular=0.8
+        head, _, kv = spec.partition(":")
+        idx = int(head)
+        key, _, val = kv.partition("=")
+        vals = [float(v) for v in val.split(",")]
+        field = {"color": "mat_color", "fresnel": "mat_fresnel",
+                 "ambient": "mat_ambient", "diffuse": "mat_diffuse",
+                 "specular": "mat_specular",
+                 "shininess": "mat_shininess"}[key]
+        arr = getattr(flat, field)
+        new = jnp.asarray(vals if arr.ndim > 1 else vals[0], jnp.float32)
+        flat = flat.replace(**{field: arr.at[idx].set(new)})
+    light = sc.light
+    if args.light_pos:
+        light = Light(np.asarray(args.light_pos, np.float32),
+                      light.base_color, light.intensity)
+    if args.light_color:
+        light = Light(light.position,
+                      np.asarray(args.light_color, np.float32),
+                      light.intensity)
+    if args.light_intensity is not None:
+        light = Light(light.position, light.base_color,
+                      float(args.light_intensity))
+    sc.flat = flat
+    sc.light = light
+    return sc
+
+
 def _build(args):
     import numpy as np
     from raytracer_tpu.accel import build_bvh, linearize
@@ -30,6 +68,7 @@ def _build(args):
                        ray_chunk=args.ray_chunk)
     sc = generate_scene(args.scene, aspect=args.width / args.height,
                         seed=args.seed)
+    sc = _apply_edits(sc, args)
     bvh = None
     if cfg.use_bvh:
         bvh = linearize(build_bvh(sc.flat, sc.bvh_max_depth))
@@ -49,6 +88,9 @@ def _render_frame(cfg, sc, flat, bvh, renderer: str):
     if renderer == "pallas-bvh":
         from raytracer_tpu.render import pallas_bvh
         return pallas_bvh.render(flat, bvh, sc.camera, sc.light, cfg)
+    if renderer == "pallas-split":
+        from raytracer_tpu.render import pallas_split
+        return pallas_split.render(flat, bvh, sc.camera, sc.light, cfg)
     from raytracer_tpu.render.reference import render
     return render(flat, sc.camera, sc.light, cfg)
 
@@ -151,7 +193,14 @@ def main(argv=None):
         sp.add_argument("--ray-chunk", type=int, default=8192)
         sp.add_argument("--renderer", default="wavefront",
                         choices=["wavefront", "reference", "cpu", "pallas",
-                                 "pallas-bvh"])
+                                 "pallas-bvh", "pallas-split"])
+        # live-editor equivalents (ImGui panel, main.cpp:384-429)
+        sp.add_argument("--material", action="append", metavar="IDX:K=V",
+                        help="edit material, e.g. 0:color=1,0,0 "
+                             "4:specular=0.8 (repeatable)")
+        sp.add_argument("--light-pos", type=float, nargs=3)
+        sp.add_argument("--light-color", type=float, nargs=3)
+        sp.add_argument("--light-intensity", type=float)
 
     sp = sub.add_parser("render", help="render one frame to PNG")
     common(sp)

@@ -35,6 +35,10 @@ class RenderConfig:
     use_bvh: bool = True
     use_fresnel: bool = False
     use_mt: bool = False
+    # Shadow rays on/off. The reference GPU path always shadows; disabling
+    # matches the CPU path's look (and halves traversal work) — an
+    # extension knob, default-on for parity.
+    enable_shadows: bool = True
 
     # Shadow-ray surface offset: the reference uses 1e-3 in the BVH path and
     # 1e-5 in the non-BVH path (gpu_shader.comp:469,565).

@@ -236,9 +236,24 @@ def _tri_test(tri_ref, i, ox, oy, oz, dx, dy, dz, use_mt):
     return t, inner
 
 
-def _split_kernel(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
-                  pre_ref, tri_ref, rays_ref, t_ref, gid_ref,
-                  *, m, n_other, use_mt, occlusion):
+class _FlatView:
+    """Adapter exposing flat (W*i + f) SMEM arrays with the same [i, f]
+    indexing the 2-D VMEM refs use, so one kernel body serves both."""
+
+    __slots__ = ("ref", "w")
+
+    def __init__(self, ref, w):
+        self.ref = ref
+        self.w = w
+
+    def __getitem__(self, idx):
+        i, f = idx
+        return self.ref[i * self.w + f]
+
+
+def _split_body(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
+                pre_ref, tri_ref, rays_ref, t_ref, gid_ref,
+                *, m, n_other, use_mt, occlusion):
     ox = rays_ref[0, 0]
     oy = rays_ref[1, 0]
     oz = rays_ref[2, 0]
@@ -358,11 +373,36 @@ def _split_kernel(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
         gid_ref[0] = gid_best
 
 
-def make_closest_hit(split: SplitScene, cfg: RenderConfig):
-    """closest_hit(o, d) -> (t, sid, hit) plus .occlusion(o, d, max_t)."""
+def _split_kernel(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
+                  pre_ref, tri_ref, rays_ref, t_ref, gid_ref, **kw):
+    _split_body(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
+                pre_ref, tri_ref, rays_ref, t_ref, gid_ref, **kw)
+
+
+def _split_kernel_smem(leaf_start_ref, leaf_count_ref, skip_ref,
+                       nodes_flat_ref, pre_flat_ref, tri_flat_ref,
+                       rays_ref, t_ref, gid_ref, **kw):
+    """All tables in SMEM (scalar prefetch): scalar loads come from the
+    scalar unit's own memory instead of VMEM, removing the per-iteration
+    VMEM scalar-load latency that dominates the traversal loop."""
+    _split_body(leaf_start_ref, leaf_count_ref, skip_ref,
+                _FlatView(nodes_flat_ref, 8),
+                _FlatView(pre_flat_ref, PRE_W),
+                _FlatView(tri_flat_ref, TRI_W),
+                rays_ref, t_ref, gid_ref, **kw)
+
+
+def make_closest_hit(split: SplitScene, cfg: RenderConfig,
+                     smem_tables: bool = False):
+    """closest_hit(o, d) -> (t, sid, hit) plus .occlusion(o, d, max_t).
+
+    smem_tables: keep all geometry/topology tables in SMEM (scalar-prefetch
+    flat arrays) instead of VMEM — the traversal loop is scalar-load-latency
+    bound, and SMEM is the scalar unit's own memory. Default OFF: correct
+    (1-ulp parity in interpret mode) but the v5e remote Mosaic toolchain
+    compiles this variant pathologically slowly (>15 min); revisit."""
     interpret = _auto_interpret(cfg)
     th, tw = cfg.tile_h, cfg.tile_w
-    args = split.device_args()
 
     def run(o, d, extra, occlusion):
         r = o.shape[0]
@@ -380,27 +420,46 @@ def make_closest_hit(split: SplitScene, cfg: RenderConfig):
         nrow = len(comps)
         rays = jnp.stack(comps).reshape(nrow, g, th, tw)
 
-        kern = functools.partial(
-            _split_kernel, m=split.m, n_other=split.n_other,
-            use_mt=cfg.use_mt, occlusion=occlusion)
-        spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(g,),
-            in_specs=[
-                pl.BlockSpec(split.nodes.shape, lambda i, *_: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(split.pre_rows.shape, lambda i, *_: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(split.tri_rows.shape, lambda i, *_: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((nrow, 1, th, tw), lambda i, *_: (0, i, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, th, tw), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((1, th, tw), lambda i, *_: (i, 0, 0)),
-            ],
-        )
+        kw = dict(m=split.m, n_other=split.n_other, use_mt=cfg.use_mt,
+                  occlusion=occlusion)
+        ray_spec = pl.BlockSpec((nrow, 1, th, tw),
+                                lambda i, *_: (0, i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_specs = [
+            pl.BlockSpec((1, th, tw), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, th, tw), lambda i, *_: (i, 0, 0)),
+        ]
+        if smem_tables:
+            kern = functools.partial(_split_kernel_smem, **kw)
+            spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=6,
+                grid=(g,),
+                in_specs=[ray_spec],
+                out_specs=out_specs,
+            )
+            args = (split.leaf_start, split.leaf_count, split.skip,
+                    split.nodes[:, :8].reshape(-1),
+                    split.pre_rows.reshape(-1),
+                    split.tri_rows.reshape(-1))
+        else:
+            kern = functools.partial(_split_kernel, **kw)
+            spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(g,),
+                in_specs=[
+                    pl.BlockSpec(split.nodes.shape, lambda i, *_: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(split.pre_rows.shape,
+                                 lambda i, *_: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(split.tri_rows.shape,
+                                 lambda i, *_: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    ray_spec,
+                ],
+                out_specs=out_specs,
+            )
+            args = split.device_args()
         t, gid = pl.pallas_call(
             kern,
             grid_spec=spec,

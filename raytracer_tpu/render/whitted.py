@@ -79,14 +79,17 @@ def trace(scene: FlatScene, light: Light, closest_hit_fn: ClosestHitFn,
         shin = jnp.take(scene.mat_shininess, sid, axis=0)
 
         # Shadow ray (comp:466-480 / :562-580).
-        s_o = p + n * shadow_eps
-        s_d = normalize(light_pos - p, eps=1e-30)
-        light_dist = jnp.linalg.norm(light_pos - p, axis=-1)
-        if occlusion_fn is not None:
-            in_shadow = occlusion_fn(s_o, s_d, light_dist)
+        if cfg.enable_shadows:
+            s_o = p + n * shadow_eps
+            s_d = normalize(light_pos - p, eps=1e-30)
+            light_dist = jnp.linalg.norm(light_pos - p, axis=-1)
+            if occlusion_fn is not None:
+                in_shadow = occlusion_fn(s_o, s_d, light_dist)
+            else:
+                s_t, _, s_hit = closest_hit_fn(s_o, s_d)
+                in_shadow = s_hit & (s_t < light_dist)
         else:
-            s_t, _, s_hit = closest_hit_fn(s_o, s_d)
-            in_shadow = s_hit & (s_t < light_dist)
+            in_shadow = jnp.zeros(t.shape, dtype=bool)
 
         color = shading.phong(p, n, d, light_pos, light_color, mat_color,
                               k_a, k_d, k_s, shin, attenuate=True)
