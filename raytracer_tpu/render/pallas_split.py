@@ -48,10 +48,16 @@ from raytracer_tpu.render.pallas_kernel import _auto_interpret
 # closest-hit shadows on v5e in round 1 — keep switchable for re-testing.
 USE_OCCLUSION = False
 
-# pre-pass row layout: geom pack (24) + gid + leaf box (6) = 31
+# Emit shading attributes from the kernel (no XLA gathers at all). Off:
+# see note in _render_impl.
+USE_KERNEL_ATTRS = False
+
+# pre-pass row layout: geom pack (24) + gid + leaf box (6) + material (8)
 G_GID = 24
 G_B0X, G_B0Y, G_B0Z, G_B1X, G_B1Y, G_B1Z = 25, 26, 27, 28, 29, 30
-PRE_W = 31
+G_MCR, G_MCG, G_MCB = 31, 32, 33
+G_MKA, G_MKD, G_MKS, G_MKF, G_MSH = 34, 35, 36, 37, 38
+PRE_W = 39
 
 # triangle row layout (lean): n, pd, e1, e2, p1, p1e1, p1e2, r11, r01, r00,
 # gid
@@ -61,7 +67,9 @@ T_E2X, T_E2Y, T_E2Z = 7, 8, 9
 T_P1X, T_P1Y, T_P1Z = 10, 11, 12
 T_S0, T_S1, T_R11, T_R01, T_R00 = 13, 14, 15, 16, 17
 T_GID = 18
-TRI_W = 19
+T_MCR, T_MCG, T_MCB = 19, 20, 21
+T_MKA, T_MKD, T_MKS, T_MKF, T_MSH = 22, 23, 24, 25, 26
+TRI_W = 27
 
 
 @jax.tree_util.register_pytree_node_class
@@ -106,6 +114,12 @@ class SplitScene:
             pre[:, G_GID] = other_ids.astype(np.float32)
             pre[:, G_B0X:G_B0X + 3] = bmin[other_ids]
             pre[:, G_B1X:G_B1X + 3] = bmax[other_ids]
+            pre[:, G_MCR:G_MCR + 3] = np.asarray(scene.mat_color)[other_ids]
+            pre[:, G_MKA] = np.asarray(scene.mat_ambient)[other_ids]
+            pre[:, G_MKD] = np.asarray(scene.mat_diffuse)[other_ids]
+            pre[:, G_MKS] = np.asarray(scene.mat_specular)[other_ids]
+            pre[:, G_MKF] = np.asarray(scene.mat_fresnel)[other_ids]
+            pre[:, G_MSH] = np.asarray(scene.mat_shininess)[other_ids]
 
         # --- triangle-only BVH (pure perf choice; any tree is exact) ------
         mins, maxs = shape_aabbs(scene)
@@ -154,6 +168,12 @@ class SplitScene:
             tri[:, T_R01] = np.where(z, 0.0, d01 / safe)
             tri[:, T_R00] = np.where(z, 0.0, d00 / safe)
             tri[:, T_GID] = gids.astype(np.float32)
+            tri[:, T_MCR:T_MCR + 3] = np.asarray(scene.mat_color)[gids]
+            tri[:, T_MKA] = np.asarray(scene.mat_ambient)[gids]
+            tri[:, T_MKD] = np.asarray(scene.mat_diffuse)[gids]
+            tri[:, T_MKS] = np.asarray(scene.mat_specular)[gids]
+            tri[:, T_MKF] = np.asarray(scene.mat_fresnel)[gids]
+            tri[:, T_MSH] = np.asarray(scene.mat_shininess)[gids]
         k_pad = max(((tri.shape[0] + 7) // 8) * 8, 8)
         tri = np.pad(tri, ((0, k_pad - tri.shape[0]), (0, 0)))
         self.tri_rows = jnp.asarray(tri)
@@ -251,9 +271,17 @@ class _FlatView:
         return self.ref[i * self.w + f]
 
 
+# ablation flags for performance bisection (leave True in production)
+RUN_PREPASS = True
+RUN_TRAVERSAL = True
+
+
+N_ATTRS = 11  # nx, ny, nz, cr, cg, cb, ka, kd, ks, kf, shininess
+
+
 def _split_body(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
                 pre_ref, tri_ref, rays_ref, t_ref, gid_ref,
-                *, m, n_other, use_mt, occlusion):
+                *, m, n_other, use_mt, occlusion, attr_refs=None):
     ox = rays_ref[0, 0]
     oy = rays_ref[1, 0]
     oz = rays_ref[2, 0]
@@ -270,38 +298,71 @@ def _split_body(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
     shape = ox.shape
     t0 = jnp.full(shape, INF, jnp.float32)
     g0 = jnp.full(shape, -1.0, jnp.float32)
+    emit = attr_refs is not None
+    a0 = tuple(jnp.zeros(shape, jnp.float32) for _ in range(N_ATTRS)) \
+        if emit else ()
+
+    def pre_attrs(i, t):
+        """Shading attributes of pre-pass shape i at hit t (vectors).
+        Sphere normals depend on the hit point; plane-family normals are
+        the stored plane normal. Scalar-typed blend (no scalar-pred
+        selects — Mosaic legalization)."""
+        from raytracer_tpu.core.scene import SPHERE as _S
+        typ = pre_ref[i, 0]
+        is_s = (typ == _S).astype(jnp.float32)
+        px = ox + t * dx - pre_ref[i, 1]
+        py = oy + t * dy - pre_ref[i, 2]
+        pz = oz + t * dz - pre_ref[i, 3]
+        inv = jax.lax.rsqrt(px * px + py * py + pz * pz + 1e-30)
+        nx = is_s * (px * inv) + (1.0 - is_s) * pre_ref[i, 5]
+        ny = is_s * (py * inv) + (1.0 - is_s) * pre_ref[i, 6]
+        nz = is_s * (pz * inv) + (1.0 - is_s) * pre_ref[i, 7]
+        return (nx, ny, nz, pre_ref[i, G_MCR], pre_ref[i, G_MCG],
+                pre_ref[i, G_MCB], pre_ref[i, G_MKA], pre_ref[i, G_MKD],
+                pre_ref[i, G_MKS], pre_ref[i, G_MKF], pre_ref[i, G_MSH])
 
     # ---- pre-pass: non-triangle shapes, brute with leaf-box gates --------
     def pre_body(i, carry):
-        t_best, gid_best = carry
-        t, inner = _pre_intersect(pre_ref, i, ox, oy, oz, dx, dy, dz, aa,
-                                  inv_dx, inv_dy, inv_dz, use_mt)
         if occlusion:
+            t_best, gid_best = carry
+            t, inner = _pre_intersect(pre_ref, i, ox, oy, oz, dx, dy, dz,
+                                      aa, inv_dx, inv_dy, inv_dz, use_mt)
             better = inner & (t < limit) & (t_best == INF)
             return (jnp.where(better, 0.0, t_best), gid_best)
+        t_best, gid_best = carry[0], carry[1]
+        t, inner = _pre_intersect(pre_ref, i, ox, oy, oz, dx, dy, dz, aa,
+                                  inv_dx, inv_dy, inv_dz, use_mt)
         better = inner & (t < t_best)
-        return (jnp.where(better, t, t_best),
-                jnp.where(better, pre_ref[i, G_GID], gid_best))
+        out = (jnp.where(better, t, t_best),
+               jnp.where(better, pre_ref[i, G_GID], gid_best))
+        if emit:
+            new_attrs = pre_attrs(i, t)
+            out = out + tuple(jnp.where(better, na, a)
+                              for na, a in zip(new_attrs, carry[2:]))
+        return out
 
     if occlusion:
-        # reuse t_best as "not yet occluded" flag: INF = free, 0 = occluded
         carry = (t0, g0)
-        if n_other:
+        if n_other and RUN_PREPASS:
             carry = jax.lax.fori_loop(0, n_other, pre_body, carry)
         occ_state, _ = carry
         occluded0 = occ_state != INF
+        t_best0, gid_best0 = carry
+        attrs0 = ()
     else:
-        carry = (t0, g0)
-        if n_other:
+        carry = (t0, g0) + a0
+        if n_other and RUN_PREPASS:
             carry = jax.lax.fori_loop(0, n_other, pre_body, carry)
-    t_best0, gid_best0 = carry
+        t_best0, gid_best0 = carry[0], carry[1]
+        attrs0 = carry[2:]
 
     # ---- triangle packet traversal ---------------------------------------
     def cond(state):
         return state[0] < m
 
     def body(state):
-        ptr, k, t_best, gid_best = state
+        ptr, k, t_best, gid_best = state[0], state[1], state[2], state[3]
+        attrs = state[4:]
         entering = k == 0
 
         b0x = nodes_ref[ptr, 0]
@@ -349,6 +410,15 @@ def _split_body(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
             better = inner & in_leaf & (t < t_best)
             t_best = jnp.where(better, t, t_best)
             gid_best = jnp.where(better, tri_ref[row, T_GID], gid_best)
+            if emit:
+                tri_attrs = (tri_ref[row, T_NX], tri_ref[row, T_NY],
+                             tri_ref[row, T_NZ], tri_ref[row, T_MCR],
+                             tri_ref[row, T_MCG], tri_ref[row, T_MCB],
+                             tri_ref[row, T_MKA], tri_ref[row, T_MKD],
+                             tri_ref[row, T_MKS], tri_ref[row, T_MKF],
+                             tri_ref[row, T_MSH])
+                attrs = tuple(jnp.where(better, na, a)
+                              for na, a in zip(tri_attrs, attrs))
 
         k_next = k + 1
         leaf_done = in_leaf & (k_next >= cnt)
@@ -358,8 +428,18 @@ def _split_body(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
         new_ptr = stay * ptr + (1 - stay) * (deeper * (ptr + 1)
                                              + (1 - deeper) * sk)
         new_k = stay * k_next
-        return new_ptr, new_k, t_best, gid_best
+        return (new_ptr, new_k, t_best, gid_best) + attrs
 
+    def write_attrs(attrs):
+        if emit:
+            for ref, a in zip(attr_refs, attrs):
+                ref[0] = a
+
+    if not RUN_TRAVERSAL:
+        t_ref[0] = t_best0
+        gid_ref[0] = gid_best0
+        write_attrs(attrs0)
+        return
     if occlusion:
         t_occ = jnp.where(occluded0, 0.0, INF)
         _, _, t_occ, _ = jax.lax.while_loop(
@@ -367,16 +447,29 @@ def _split_body(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
         t_ref[0] = t_occ
         gid_ref[0] = g0
     else:
-        _, _, t_best, gid_best = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), jnp.int32(0), t_best0, gid_best0))
-        t_ref[0] = t_best
-        gid_ref[0] = gid_best
+        out = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.int32(0), t_best0, gid_best0) + attrs0)
+        t_ref[0] = out[2]
+        gid_ref[0] = out[3]
+        write_attrs(out[4:])
 
 
 def _split_kernel(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
                   pre_ref, tri_ref, rays_ref, t_ref, gid_ref, **kw):
     _split_body(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
                 pre_ref, tri_ref, rays_ref, t_ref, gid_ref, **kw)
+
+
+def _split_kernel_attrs(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
+                        pre_ref, tri_ref, rays_ref, t_ref, gid_ref,
+                        *attr_refs, **kw):
+    """Closest-hit variant that also emits shading attributes (normal +
+    material) per lane, eliminating the XLA-side jnp.take gathers that
+    dominate wave cost (~25ms/wave at 800x600 on v5e)."""
+    _split_body(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
+                pre_ref, tri_ref, rays_ref, t_ref, gid_ref,
+                attr_refs=attr_refs, **kw)
 
 
 def _split_kernel_smem(leaf_start_ref, leaf_count_ref, skip_ref,
@@ -404,7 +497,7 @@ def make_closest_hit(split: SplitScene, cfg: RenderConfig,
     interpret = _auto_interpret(cfg)
     th, tw = cfg.tile_h, cfg.tile_w
 
-    def run(o, d, extra, occlusion):
+    def run(o, d, extra, occlusion, emit_attrs=False):
         r = o.shape[0]
         tile = th * tw
         pad = (-r) % tile
@@ -425,12 +518,18 @@ def make_closest_hit(split: SplitScene, cfg: RenderConfig,
         ray_spec = pl.BlockSpec((nrow, 1, th, tw),
                                 lambda i, *_: (0, i, 0, 0),
                                 memory_space=pltpu.VMEM)
-        out_specs = [
-            pl.BlockSpec((1, th, tw), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, th, tw), lambda i, *_: (i, 0, 0)),
-        ]
-        if smem_tables:
+        n_out = 2 + (N_ATTRS if emit_attrs else 0)
+        out_specs = [pl.BlockSpec((1, th, tw), lambda i, *_: (i, 0, 0))
+                     for _ in range(n_out)]
+        out_shape = [jax.ShapeDtypeStruct((g, th, tw), jnp.float32)
+                     for _ in range(n_out)]
+        if emit_attrs:
+            kern = functools.partial(_split_kernel_attrs, **kw)
+        elif smem_tables:
             kern = functools.partial(_split_kernel_smem, **kw)
+        else:
+            kern = functools.partial(_split_kernel, **kw)
+        if smem_tables and not emit_attrs:
             spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=6,
                 grid=(g,),
@@ -442,7 +541,6 @@ def make_closest_hit(split: SplitScene, cfg: RenderConfig,
                     split.pre_rows.reshape(-1),
                     split.tri_rows.reshape(-1))
         else:
-            kern = functools.partial(_split_kernel, **kw)
             spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
                 grid=(g,),
@@ -460,16 +558,13 @@ def make_closest_hit(split: SplitScene, cfg: RenderConfig,
                 out_specs=out_specs,
             )
             args = split.device_args()
-        t, gid = pl.pallas_call(
+        outs = pl.pallas_call(
             kern,
             grid_spec=spec,
-            out_shape=[
-                jax.ShapeDtypeStruct((g, th, tw), jnp.float32),
-                jax.ShapeDtypeStruct((g, th, tw), jnp.float32),
-            ],
+            out_shape=out_shape,
             interpret=interpret,
         )(*args, rays)
-        return t.reshape(-1)[:r], gid.reshape(-1)[:r]
+        return [x.reshape(-1)[:r] for x in outs]
 
     @jax.jit
     def closest_hit(o, d):
@@ -479,11 +574,31 @@ def make_closest_hit(split: SplitScene, cfg: RenderConfig,
         return t, sid, hit
 
     @jax.jit
+    def closest_hit_attrs(o, d):
+        outs = run(o, d, None, occlusion=False, emit_attrs=True)
+        t, gid = outs[0], outs[1]
+        a = outs[2:]
+        hit = t < INF
+        sid = jnp.maximum(gid, 0.0).astype(jnp.int32)
+        attrs = {
+            "normal": jnp.stack([a[0], a[1], a[2]], axis=-1),
+            "color": jnp.stack([a[3], a[4], a[5]], axis=-1),
+            "ambient": a[6], "diffuse": a[7], "specular": a[8],
+            "fresnel": a[9], "shininess": a[10],
+        }
+        return t, sid, hit, attrs
+
+    closest_hit_attrs.provides_attrs = True
+
+    @jax.jit
     def occlusion(o, d, max_t):
         t, _ = run(o, d, max_t, occlusion=True)
         return t == 0.0
 
     closest_hit.occlusion = occlusion
+    closest_hit_attrs.occlusion = occlusion
+    closest_hit_attrs.base = closest_hit
+    closest_hit.with_attrs = closest_hit_attrs
     return closest_hit
 
 
@@ -501,6 +616,12 @@ def _render_impl(scene: FlatScene, split: SplitScene, camera, light,
         occl = closest.occlusion
         closest = make_differentiable_closest(scene, closest, cfg.use_mt)
         closest.occlusion = occl
+    elif USE_KERNEL_ATTRS:
+        # kernel-emitted shading attributes skip the XLA gathers entirely;
+        # default off — the 13-vector-carry kernel wedges the current
+        # remote Mosaic toolchain's compile (whitted's packed single-gather
+        # table covers most of the win meanwhile)
+        closest = closest.with_attrs
 
     tile = cfg.tile_h * cfg.tile_w
     bh, bw = _block_shape(tile)

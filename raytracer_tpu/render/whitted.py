@@ -41,6 +41,30 @@ ClosestHitFn = Callable[[jnp.ndarray, jnp.ndarray],
 PARK_ORIGIN = 2e30
 _PARK_DIR = 0.5773502691896258  # 1/sqrt(3): unit, no zero components
 
+# perf-bisection flag: replace the per-hit gathers (materials, normals)
+# with constants. NEVER leave off in production.
+DEBUG_CONST_SHADE = False
+
+
+def _attr_table(scene: FlatScene) -> jnp.ndarray:
+    """Packed (N, 16) shading-attribute table so the per-hit lookup is ONE
+    row gather instead of ten separate jnp.take calls (separate gathers
+    cost ~25ms/wave at 800x600 on v5e). Columns:
+    [n(3), color(3), ka, kd, ks, kf, shininess, center(3), is_sphere]."""
+    from raytracer_tpu.core.scene import SPHERE
+
+    return jnp.concatenate([
+        scene.plane_normal,
+        scene.mat_color,
+        scene.mat_ambient[:, None],
+        scene.mat_diffuse[:, None],
+        scene.mat_specular[:, None],
+        scene.mat_fresnel[:, None],
+        scene.mat_shininess[:, None],
+        scene.sphere_center,
+        (scene.shape_type == SPHERE).astype(jnp.float32)[:, None],
+    ], axis=1)
+
 
 def trace(scene: FlatScene, light: Light, closest_hit_fn: ClosestHitFn,
           o: jnp.ndarray, d: jnp.ndarray, bg: jnp.ndarray,
@@ -60,9 +84,15 @@ def trace(scene: FlatScene, light: Light, closest_hit_fn: ClosestHitFn,
     atten = jnp.ones_like(o)
     alive = jnp.ones(o.shape[:-1], dtype=bool)
 
+    provides_attrs = getattr(closest_hit_fn, "provides_attrs", False)
+    attr_tab = _attr_table(scene)
+
     def bounce(_, carry):
         o, d, atten, accum, alive = carry
-        t, sid, hit = closest_hit_fn(o, d)
+        if provides_attrs:
+            t, sid, hit, attrs = closest_hit_fn(o, d)
+        else:
+            t, sid, hit = closest_hit_fn(o, d)
 
         # Miss: add attenuated background, terminate (comp:454-458).
         miss_now = alive & ~hit
@@ -70,13 +100,37 @@ def trace(scene: FlatScene, light: Light, closest_hit_fn: ClosestHitFn,
         live = alive & hit
 
         p = o + t[..., None] * d
-        n = shape_normal(scene, sid, p)
-        mat_color = jnp.take(scene.mat_color, sid, axis=0)
-        k_a = jnp.take(scene.mat_ambient, sid, axis=0)
-        k_d = jnp.take(scene.mat_diffuse, sid, axis=0)
-        k_s = jnp.take(scene.mat_specular, sid, axis=0)
-        k_f = jnp.take(scene.mat_fresnel, sid, axis=0)
-        shin = jnp.take(scene.mat_shininess, sid, axis=0)
+        if provides_attrs:
+            # attributes emitted by the kernel — no XLA gathers
+            n = attrs["normal"]
+            mat_color = attrs["color"]
+            k_a = attrs["ambient"]
+            k_d = attrs["diffuse"]
+            k_s = attrs["specular"]
+            k_f = attrs["fresnel"]
+            shin = attrs["shininess"]
+        elif DEBUG_CONST_SHADE:
+            n = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), p.shape)
+            mat_color = jnp.ones_like(p)
+            k_a = jnp.full(t.shape, 0.4)
+            k_d = jnp.ones(t.shape)
+            k_s = jnp.full(t.shape, 0.5)
+            k_f = jnp.ones(t.shape)
+            shin = jnp.full(t.shape, 32.0)
+        else:
+            row = jnp.take(attr_tab, sid, axis=0)      # ONE gather
+            mat_color = row[:, 3:6]
+            k_a = row[:, 6]
+            k_d = row[:, 7]
+            k_s = row[:, 8]
+            k_f = row[:, 9]
+            shin = row[:, 10]
+            # normal: plane-family from the table; sphere from the hit point
+            rel = p - row[:, 11:14]
+            inv = jax.lax.rsqrt(jnp.sum(rel * rel, -1, keepdims=True)
+                                + 1e-30)
+            is_sph = row[:, 14:15]
+            n = is_sph * (rel * inv) + (1.0 - is_sph) * row[:, 0:3]
 
         # Shadow ray (comp:466-480 / :562-580).
         if cfg.enable_shadows:
@@ -86,7 +140,13 @@ def trace(scene: FlatScene, light: Light, closest_hit_fn: ClosestHitFn,
             if occlusion_fn is not None:
                 in_shadow = occlusion_fn(s_o, s_d, light_dist)
             else:
-                s_t, _, s_hit = closest_hit_fn(s_o, s_d)
+                # shadow rays don't need shading attributes — use the plain
+                # closest-hit when the attrs variant exposes one
+                shadow_fn = getattr(closest_hit_fn, "base", closest_hit_fn)
+                if getattr(shadow_fn, "provides_attrs", False):
+                    s_t, _, s_hit, _ = shadow_fn(s_o, s_d)
+                else:
+                    s_t, _, s_hit = shadow_fn(s_o, s_d)
                 in_shadow = s_hit & (s_t < light_dist)
         else:
             in_shadow = jnp.zeros(t.shape, dtype=bool)
