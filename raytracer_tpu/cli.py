@@ -91,6 +91,9 @@ def _render_frame(cfg, sc, flat, bvh, renderer: str):
     if renderer == "pallas-split":
         from raytracer_tpu.render import pallas_split
         return pallas_split.render(flat, bvh, sc.camera, sc.light, cfg)
+    if renderer == "pallas-mega":
+        from raytracer_tpu.render import pallas_mega
+        return pallas_mega.render(flat, bvh, sc.camera, sc.light, cfg)
     from raytracer_tpu.render.reference import render
     return render(flat, sc.camera, sc.light, cfg)
 
@@ -193,7 +196,8 @@ def main(argv=None):
         sp.add_argument("--ray-chunk", type=int, default=8192)
         sp.add_argument("--renderer", default="wavefront",
                         choices=["wavefront", "reference", "cpu", "pallas",
-                                 "pallas-bvh", "pallas-split"])
+                                 "pallas-bvh", "pallas-split",
+                                 "pallas-mega"])
         # live-editor equivalents (ImGui panel, main.cpp:384-429)
         sp.add_argument("--material", action="append", metavar="IDX:K=V",
                         help="edit material, e.g. 0:color=1,0,0 "
