@@ -147,7 +147,9 @@ def build_lbvh(aabb_min: jnp.ndarray, aabb_max: jnp.ndarray,
         return s, jnp.maximum(-(-t2 // 2), 1)
 
     s, _ = jax.lax.fori_loop(0, 34, split_body, (s, t2))
-    gamma = first + s
+    # (the split position gamma = first + s is implicit in the radix-tree
+    # ranges; the sort-based DFS emission below never needs explicit
+    # child pointers)
 
     # ---- assemble 2n-1 nodes: internal i -> [first, last]; leaf -> [k,k]
     starts = jnp.concatenate([first, jnp.arange(n, dtype=jnp.int32)])

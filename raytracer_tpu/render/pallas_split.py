@@ -52,6 +52,10 @@ USE_OCCLUSION = False
 # see note in _render_impl.
 USE_KERNEL_ATTRS = False
 
+# Component-SoA pipeline (whitted_soa.trace_c + component-native kernel
+# boundary): avoids every (R,3) lane-padded tensor in the wave loop.
+USE_SOA_PIPELINE = False
+
 # pre-pass row layout: geom pack (24) + gid + leaf box (6) + material (8)
 G_GID = 24
 G_B0X, G_B0Y, G_B0Z, G_B1X, G_B1Y, G_B1Z = 25, 26, 27, 28, 29, 30
@@ -497,19 +501,15 @@ def make_closest_hit(split: SplitScene, cfg: RenderConfig,
     interpret = _auto_interpret(cfg)
     th, tw = cfg.tile_h, cfg.tile_w
 
-    def run(o, d, extra, occlusion, emit_attrs=False):
-        r = o.shape[0]
+    def run_comps(comps, occlusion, emit_attrs=False):
+        r = comps[0].shape[0]
         tile = th * tw
         pad = (-r) % tile
         if pad:
-            o = jnp.pad(o, ((0, pad), (0, 0)))
-            d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
-            if extra is not None:
-                extra = jnp.pad(extra, ((0, pad),))
-        g = o.shape[0] // tile
-        comps = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2]]
-        if extra is not None:
-            comps.append(extra)
+            fills = [2e30, 2e30, 2e30, 1.0, 1.0, 1.0, 0.0]
+            comps = [jnp.pad(c, ((0, pad),), constant_values=f)
+                     for c, f in zip(comps, fills)]
+        g = comps[0].shape[0] // tile
         nrow = len(comps)
         rays = jnp.stack(comps).reshape(nrow, g, th, tw)
 
@@ -566,12 +566,32 @@ def make_closest_hit(split: SplitScene, cfg: RenderConfig,
         )(*args, rays)
         return [x.reshape(-1)[:r] for x in outs]
 
+    def run(o, d, extra, occlusion, emit_attrs=False):
+        comps = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2]]
+        if extra is not None:
+            comps.append(extra)
+        return run_comps(comps, occlusion, emit_attrs)
+
     @jax.jit
     def closest_hit(o, d):
         t, gid = run(o, d, None, occlusion=False)
         hit = t < INF
         sid = jnp.maximum(gid, 0.0).astype(jnp.int32)
         return t, sid, hit
+
+    @jax.jit
+    def closest_c(ox, oy, oz, dx, dy, dz):
+        """Component-native closest hit: no (R,3) tensors at the boundary
+        (see render/whitted_soa.py)."""
+        t, gid = run_comps([ox, oy, oz, dx, dy, dz], occlusion=False)
+        hit = t < INF
+        sid = jnp.maximum(gid, 0.0).astype(jnp.int32)
+        return t, sid, hit
+
+    @jax.jit
+    def occlusion_c(ox, oy, oz, dx, dy, dz, max_t):
+        t, _ = run_comps([ox, oy, oz, dx, dy, dz, max_t], occlusion=True)
+        return t == 0.0
 
     @jax.jit
     def closest_hit_attrs(o, d):
@@ -599,6 +619,8 @@ def make_closest_hit(split: SplitScene, cfg: RenderConfig,
     closest_hit_attrs.occlusion = occlusion
     closest_hit_attrs.base = closest_hit
     closest_hit.with_attrs = closest_hit_attrs
+    closest_hit.closest_c = closest_c
+    closest_hit.occlusion_c = occlusion_c
     return closest_hit
 
 
@@ -638,9 +660,16 @@ def _render_impl(scene: FlatScene, split: SplitScene, camera, light,
     d_b = to_blocks(d, fill=whitted._PARK_DIR)
     bg_b = to_blocks(bg)
 
-    occl = closest.occlusion if USE_OCCLUSION else None
-    colors = whitted.trace(scene, light, closest, o_b, d_b, bg_b, cfg,
-                           occlusion_fn=occl)
+    if USE_SOA_PIPELINE and not differentiable:
+        from raytracer_tpu.render import whitted_soa
+        occl_c = closest.occlusion_c if USE_OCCLUSION else None
+        colors = whitted_soa.trace_c(scene, light, closest.closest_c,
+                                     o_b, d_b, bg_b, cfg,
+                                     occlusion_c=occl_c)
+    else:
+        occl = closest.occlusion if USE_OCCLUSION else None
+        colors = whitted.trace(scene, light, closest, o_b, d_b, bg_b, cfg,
+                               occlusion_fn=occl)
     colors = colors.reshape(hp // bh, wp // bw, bh, bw, 3)
     colors = colors.transpose(0, 2, 1, 3, 4).reshape(hp, wp, 3)
     return colors[:h, :w]

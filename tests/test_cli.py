@@ -1,0 +1,46 @@
+"""CLI smoke tests (arg plumbing + knobs; renders at tiny sizes)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from raytracer_tpu import cli
+
+
+def test_render_command(tmp_path):
+    out = str(tmp_path / "o.png")
+    cli.main(["render", "--scene", "3", "--width", "32", "--height", "24",
+              "--renderer", "reference", "--out", out])
+    assert os.path.exists(out)
+    assert open(out, "rb").read(4) == b"\x89PNG"
+
+
+def test_material_and_light_edit(tmp_path):
+    out1 = str(tmp_path / "a.png")
+    out2 = str(tmp_path / "b.png")
+    base = ["render", "--scene", "3", "--width", "32", "--height", "24",
+            "--renderer", "reference"]
+    cli.main(base + ["--out", out1])
+    cli.main(base + ["--out", out2, "--material", "0:color=1,0,0",
+                     "--light-intensity", "50"])
+    a = open(out1, "rb").read()
+    b = open(out2, "rb").read()
+    assert a != b  # edits changed the image
+
+
+def test_bench_command(capsys):
+    cli.main(["bench", "--scene", "3", "--width", "32", "--height", "24",
+              "--renderer", "reference", "--iters", "1"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    stats = json.loads(out)
+    assert stats["fps"] > 0
+    assert stats["scene"] == "scene3_triangle"
+
+
+def test_animate_command(tmp_path):
+    d = str(tmp_path / "frames")
+    cli.main(["animate", "--scene", "3", "--width", "32", "--height", "24",
+              "--renderer", "reference", "--frames", "2", "--out-dir", d])
+    assert sorted(os.listdir(d)) == ["frame_0000.png", "frame_0001.png"]
