@@ -7,7 +7,6 @@ whole chain is traceable/differentiable (e.g. camera-pose optimization).
 
 from __future__ import annotations
 
-import math
 from typing import Tuple
 
 import jax.numpy as jnp

@@ -28,7 +28,7 @@ and is what animations reference (src/main.cpp:1079-1082).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,6 @@ differentiable — e.g. inverse rendering optimizes Material fields directly.
 
 from __future__ import annotations
 
-from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -93,7 +93,6 @@ def shape_centers(scene: FlatScene) -> np.ndarray:
 # jnp variants (traceable) for on-device per-frame rebuilds.
 
 import jax.numpy as jnp
-from raytracer_tpu.geom.direct import INF
 
 
 def wall_end_jnp(normal, start, width, height):

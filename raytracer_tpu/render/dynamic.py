@@ -12,11 +12,9 @@ loop is a single compiled program per frame with zero host round trips.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
 
 from raytracer_tpu.accel.lbvh import build_lbvh, node_cullable_flags_device
 from raytracer_tpu.anim.animation import bounce_spheres, rotate_wheels

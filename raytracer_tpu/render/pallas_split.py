@@ -22,7 +22,6 @@ choice. All nodes of that tree are t-cullable (contents contained).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,6 @@ import jax.numpy as jnp
 from raytracer_tpu.config import RenderConfig
 from raytracer_tpu.core.scene import FlatScene
 from raytracer_tpu.core.types import Light, normalize
-from raytracer_tpu.geom.batched import shape_normal
 from raytracer_tpu.geom.direct import reflect
 from raytracer_tpu.render import shading
 
