@@ -66,6 +66,15 @@ def main():
 
     add("wavefront", lambda: wavefront.render(sc.flat, bvh, sc.camera,
                                               sc.light, cfg))
+    # last resort: the pure-XLA brute-force oracle — slow but avoids the
+    # Mosaic compile service entirely (it has been observed to wedge)
+    from raytracer_tpu.accel.linearize import shape_leaf_boxes
+    from raytracer_tpu.render.reference import render as render_ref
+
+    lb = shape_leaf_boxes(bvh, sc.flat.num_shapes)
+    cfg_ref = cfg.replace(ray_chunk=60000)
+    add("reference_oracle", lambda: render_ref(sc.flat, sc.camera, sc.light,
+                                               cfg_ref, leaf_boxes=lb))
 
     best = None
     details = {}
@@ -84,6 +93,10 @@ def main():
             details[name] = round(1.0 / mean, 3)
             if best is None or mean < best[1]:
                 best = (name, mean)
+            if 1.0 / mean > 5.0:
+                # good result in hand — don't risk further compile-service
+                # exposure benchmarking slower candidates
+                break
         except _Timeout:
             details[name] = "error: compile/run timeout"
         except Exception as e:  # renderer unavailable on this backend
