@@ -72,7 +72,7 @@ def main():
     from raytracer_tpu.render.reference import render as render_ref
 
     lb = shape_leaf_boxes(bvh, sc.flat.num_shapes)
-    cfg_ref = cfg.replace(ray_chunk=60000)
+    cfg_ref = cfg.replace(ray_chunk=24000)  # bounded (R,N) intermediates
     add("reference_oracle", lambda: render_ref(sc.flat, sc.camera, sc.light,
                                                cfg_ref, leaf_boxes=lb))
 

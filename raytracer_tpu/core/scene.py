@@ -218,27 +218,54 @@ class SceneBuilder:
                       material: Optional[Material] = None,
                       flip_toward_center: Optional[np.ndarray] = None,
                       animated: bool = False) -> List[int]:
-        """Bulk-add triangles from a (T, 3, 3) vertex array.
+        """Bulk-add triangles from a (T, 3, 3) vertex array (vectorized —
+        per-triangle numpy calls dominate scene-2 generation otherwise).
 
         If ``flip_toward_center`` is given, replicates the mesh-import
         heuristic (src/mesh.hpp:163-189): any triangle whose normal satisfies
         dot(normal, center) > 0 is inverted.
         """
-        vertices = np.asarray(vertices, np.float32)
+        v = np.asarray(vertices, np.float64)
+        p1, p2, p3 = v[:, 0], v[:, 1], v[:, 2]
+        n = np.cross(p2 - p1, p3 - p1)
+        norm = np.linalg.norm(n, axis=-1, keepdims=True)
+        n = np.divide(n, norm, out=np.zeros_like(n), where=norm > 0)
+        if flip_toward_center is not None:
+            c = np.asarray(flip_toward_center, np.float64)
+            flip = (n @ c) > 0.0
+            n = np.where(flip[:, None], -n, n)
+        d = -(n * p1).sum(-1)
+
+        mat = material if material is not None else Material()
+        mat_fields = {
+            "mat_color": np.asarray(mat.color, np.float32),
+            "mat_fresnel": float(mat.fresnel),
+            "mat_ambient": float(mat.ambient),
+            "mat_diffuse": float(mat.diffuse),
+            "mat_specular": float(mat.specular),
+            "mat_shininess": float(mat.shininess),
+            "animated": animated,
+        }
         ids = []
-        for tri in vertices:
-            inv = False
-            if flip_toward_center is not None:
-                e1 = (tri[1] - tri[0]).astype(np.float64)
-                e2 = (tri[2] - tri[0]).astype(np.float64)
-                n = np.cross(e1, e2)
-                nn = np.linalg.norm(n)
-                if nn > 0:
-                    n = n / nn
-                inv = bool(np.dot(n, np.asarray(flip_toward_center,
-                                                np.float64)) > 0.0)
-            ids.append(self.add_triangle(tri[0], tri[1], tri[2], material,
-                                         invert_normal=inv, animated=animated))
+        n32 = n.astype(np.float32)
+        p1f = p1.astype(np.float32)
+        p2f = p2.astype(np.float32)
+        p3f = p3.astype(np.float32)
+        d32 = d.astype(np.float32)
+        for i in range(v.shape[0]):
+            row = {
+                "shape_type": TRIANGLE,
+                "plane_normal": n32[i],
+                "plane_d": float(d32[i]),
+                "tri_p1": p1f[i], "tri_p2": p2f[i], "tri_p3": p3f[i],
+                "origin": p1f[i],
+            }
+            row.update(mat_fields)
+            idx = len(self._rows)
+            self._rows.append(row)
+            if animated:
+                self.animated_indices.append(idx)
+            ids.append(idx)
         return ids
 
     def set_material(self, idx: int, material: Material):
