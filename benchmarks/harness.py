@@ -80,6 +80,35 @@ def run(scene_id, renderers, width, height, bounces, iters):
     return out
 
 
+def grad_timing(scene_id, width, height, bounces, iters):
+    """Forward vs backward wall time through the differentiable oracle
+    (the BASELINE.md fwd/bwd-ratio metric)."""
+    import jax
+    import jax.numpy as jnp
+
+    from raytracer_tpu.config import RenderConfig
+    from raytracer_tpu.render.reference import render as render_ref
+    from raytracer_tpu.scenes import generate_scene
+
+    cfg = RenderConfig(width=width, height=height, max_bounces=bounces,
+                       ray_chunk=width * height)
+    sc = generate_scene(scene_id, aspect=width / height)
+    target = render_ref(sc.flat, sc.camera, sc.light, cfg)
+
+    def loss(center):
+        s = sc.flat.replace(sphere_center=center)
+        img = render_ref(s, sc.camera, sc.light, cfg)
+        return jnp.mean((img - target) ** 2)
+
+    fwd = jax.jit(loss)
+    bwd = jax.jit(jax.value_and_grad(loss))
+    x = sc.flat.sphere_center
+    f = bench_one(lambda: fwd(x), iters=iters)
+    b = bench_one(lambda: bwd(x), iters=iters)
+    return {"forward_s": f["min_s"], "value_and_grad_s": b["min_s"],
+            "bwd_over_fwd": b["min_s"] / f["min_s"]}
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--scene", type=int, default=1)
@@ -90,10 +119,16 @@ def main():
     p.add_argument("--renderers", nargs="+",
                    default=["pallas_bvh", "wavefront"])
     p.add_argument("--out", default=None)
+    p.add_argument("--grad", action="store_true",
+                   help="also time forward vs value_and_grad (oracle)")
     args = p.parse_args()
 
     res = run(args.scene, args.renderers, args.width, args.height,
               args.bounces, args.iters)
+    if args.grad:
+        res["grad"] = grad_timing(args.scene, min(args.width, 160),
+                                  min(args.height, 120), args.bounces,
+                                  args.iters)
     text = json.dumps(res, indent=2)
     print(text)
     if args.out:
