@@ -4,34 +4,30 @@ the reference's headline config (README.md:4: 30+ FPS on an RTX 3070).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 vs_baseline is FPS / 30 (the reference's published number).
 
-Tries the available renderers and reports the fastest.
+Robustness: the TPU remote Mosaic compile service intermittently wedges,
+and a blocked compile IGNORES signals (SIGALRM never fires) — so each
+renderer candidate runs in a SUBPROCESS that can be hard-killed on
+timeout. Candidates are tried in speed order; once one exceeds 5 FPS the
+rest are skipped; the pure-XLA oracle (no Pallas, never wedges) is the
+last resort.
 """
 
 import json
-import signal
+import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
 BASELINE_FPS = 30.0
-
-# Per-candidate wall-clock budget: the remote Mosaic compile service can
-# wedge indefinitely; skip to the next renderer rather than hang the bench.
 CANDIDATE_TIMEOUT_S = 420
+CANDIDATES = ["pallas_split", "pallas_bvh", "wavefront", "reference_oracle"]
 
 
-class _Timeout(Exception):
-    pass
-
-
-def _alarm(_sig, _frm):
-    raise _Timeout()
-
-
-def main():
+def _run_candidate(name: str):
+    """Child-process entry: benchmark one renderer, print one JSON line."""
     import jax
-    import numpy as np
 
     from raytracer_tpu.accel import build_bvh, linearize
     from raytracer_tpu.config import RenderConfig
@@ -42,75 +38,80 @@ def main():
     sc = generate_scene1()
     bvh = linearize(build_bvh(sc.flat, sc.bvh_max_depth))
 
-    candidates = []
-
-    def add(name, fn):
-        candidates.append((name, fn))
-
-    try:
+    if name == "pallas_split":
         from raytracer_tpu.render import pallas_split
 
         split = pallas_split.prepare(sc.flat, bvh, tri_max_depth=20)
-        add("pallas_split", lambda: pallas_split.render(
-            sc.flat, bvh, sc.camera, sc.light, cfg, split=split))
-    except Exception:
-        pass
-    try:
+        fn = lambda: pallas_split.render(sc.flat, bvh, sc.camera, sc.light,
+                                         cfg, split=split)
+    elif name == "pallas_bvh":
         from raytracer_tpu.render import pallas_bvh
 
-        add("pallas_bvh", lambda: pallas_bvh.render(sc.flat, bvh, sc.camera,
-                                                    sc.light, cfg))
-    except Exception:
-        pass
-    from raytracer_tpu.render import wavefront
+        fn = lambda: pallas_bvh.render(sc.flat, bvh, sc.camera, sc.light,
+                                       cfg)
+    elif name == "wavefront":
+        from raytracer_tpu.render import wavefront
 
-    add("wavefront", lambda: wavefront.render(sc.flat, bvh, sc.camera,
-                                              sc.light, cfg))
-    # last resort: the pure-XLA brute-force oracle — slow but avoids the
-    # Mosaic compile service entirely (it has been observed to wedge)
-    from raytracer_tpu.accel.linearize import shape_leaf_boxes
-    from raytracer_tpu.render.reference import render as render_ref
+        fn = lambda: wavefront.render(sc.flat, bvh, sc.camera, sc.light,
+                                      cfg)
+    else:  # reference_oracle: pure XLA, no Pallas
+        from raytracer_tpu.accel.linearize import shape_leaf_boxes
+        from raytracer_tpu.render.reference import render as render_ref
 
-    lb = shape_leaf_boxes(bvh, sc.flat.num_shapes)
-    cfg_ref = cfg.replace(ray_chunk=24000)  # bounded (R,N) intermediates
-    add("reference_oracle", lambda: render_ref(sc.flat, sc.camera, sc.light,
-                                               cfg_ref, leaf_boxes=lb))
+        lb = shape_leaf_boxes(bvh, sc.flat.num_shapes)
+        cfg_ref = cfg.replace(ray_chunk=24000)
+        fn = lambda: render_ref(sc.flat, sc.camera, sc.light, cfg_ref,
+                                leaf_boxes=lb)
 
+    jax.block_until_ready(fn())  # compile + warm
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        times.append(time.perf_counter() - t0)
+    mean = sum(times) / len(times)
+    print(json.dumps({"__bench__": name, "fps": 1.0 / mean,
+                      "device": str(jax.devices()[0])}))
+
+
+def main():
     best = None
     details = {}
-    signal.signal(signal.SIGALRM, _alarm)
-    for name, fn in candidates:
+    device = "unknown"
+    for name in CANDIDATES:
         try:
-            signal.alarm(CANDIDATE_TIMEOUT_S)
-            jax.block_until_ready(fn())  # compile + warm
-            times = []
-            for _ in range(5):
-                t0 = time.perf_counter()
-                jax.block_until_ready(fn())
-                times.append(time.perf_counter() - t0)
-            signal.alarm(0)
-            mean = sum(times) / len(times)
-            details[name] = round(1.0 / mean, 3)
-            if best is None or mean < best[1]:
-                best = (name, mean)
-            if 1.0 / mean > 5.0:
-                # good result in hand — don't risk further compile-service
-                # exposure benchmarking slower candidates
-                break
-        except _Timeout:
-            details[name] = "error: compile/run timeout"
-        except Exception as e:  # renderer unavailable on this backend
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--candidate", name],
+                capture_output=True, text=True,
+                timeout=CANDIDATE_TIMEOUT_S)
+            line = None
+            for ln in proc.stdout.splitlines():
+                if ln.startswith('{"__bench__"'):
+                    line = json.loads(ln)
+            if line is None:
+                err = (proc.stderr or "").strip().splitlines()
+                details[name] = "error: " + (err[-1][:120] if err
+                                             else "no output")
+                continue
+            fps = line["fps"]
+            device = line.get("device", device)
+            details[name] = round(fps, 3)
+            if best is None or fps > best[1]:
+                best = (name, fps)
+            if fps > 5.0:
+                break  # good result; minimize compile-service exposure
+        except subprocess.TimeoutExpired:
+            details[name] = "error: timeout (compile service wedged?)"
+        except Exception as e:  # pragma: no cover
             details[name] = f"error: {type(e).__name__}"
-        finally:
-            signal.alarm(0)
+
     if best is None:
         print(json.dumps({"metric": "scene1_800x600_fps", "value": 0.0,
                           "unit": "fps", "vs_baseline": 0.0,
-                          "error": str(details)}))
+                          "all": details}))
         return
-
-    name, mean = best
-    fps = 1.0 / mean
+    name, fps = best
     print(json.dumps({
         "metric": "scene1_800x600_fps",
         "value": round(fps, 3),
@@ -119,9 +120,12 @@ def main():
         "renderer": name,
         "mpixels_per_s": round(800 * 600 * fps / 1e6, 2),
         "all": details,
-        "device": str(jax.devices()[0]),
+        "device": device,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--candidate":
+        _run_candidate(sys.argv[2])
+    else:
+        main()
