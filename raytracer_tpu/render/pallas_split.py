@@ -55,6 +55,19 @@ USE_KERNEL_ATTRS = False
 # boundary): avoids every (R,3) lane-padded tensor in the wave loop.
 USE_SOA_PIPELINE = False
 
+# Cond-split traversal state machine (_cond_kernel): node steps and
+# triangle tests as ALTERNATIVE per-iteration work gated by pl.when,
+# instead of the flat machine that pays both every iteration.
+USE_COND_STEP = False
+
+# Fuse the shadow-ray traversal INTO the closest-hit kernel: one pallas
+# launch per bounce instead of two. At 800x600 the frame is launch/glue
+# bound (~9ms per wave, traversal itself ~1ms), so halving the wave count
+# is the single biggest lever. The kernel finds the closest hit, derives
+# the shadow ray in-register (hit point + normal offset, exactly
+# whitted.trace's formulas), and runs a second traversal toward the light.
+USE_FUSED_SHADOW = False
+
 # pre-pass row layout: geom pack (24) + gid + leaf box (6) + material (8)
 G_GID = 24
 G_B0X, G_B0Y, G_B0Z, G_B1X, G_B1Y, G_B1Z = 25, 26, 27, 28, 29, 30
@@ -458,6 +471,273 @@ def _split_body(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
         write_attrs(out[4:])
 
 
+def _closest_pass(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
+                  pre_ref, tri_ref, ox, oy, oz, dx, dy, dz,
+                  *, m, n_other, use_mt, with_normals):
+    """One full closest-hit traversal (pre-pass + triangle packet walk) as
+    a pure function of ray components, callable multiple times per kernel
+    body. Mirrors _split_body's closest branch exactly; with_normals
+    additionally carries the hit normal (3 extra vector carries) so the
+    caller can derive secondary rays in-register."""
+    aa = dx * dx + dy * dy + dz * dz
+    inv_dx = 1.0 / dx
+    inv_dy = 1.0 / dy
+    inv_dz = 1.0 / dz
+    shape = ox.shape
+    t0 = jnp.full(shape, INF, jnp.float32)
+    g0 = jnp.full(shape, -1.0, jnp.float32)
+    n0 = tuple(jnp.zeros(shape, jnp.float32) for _ in range(3)) \
+        if with_normals else ()
+
+    def pre_normal(i, t):
+        # sphere normal from the hit point, plane-family from the stored
+        # normal; scalar-typed blend (no scalar-pred selects — Mosaic)
+        from raytracer_tpu.core.scene import SPHERE as _S
+        typ = pre_ref[i, 0]
+        is_s = (typ == _S).astype(jnp.float32)
+        px = ox + t * dx - pre_ref[i, 1]
+        py = oy + t * dy - pre_ref[i, 2]
+        pz = oz + t * dz - pre_ref[i, 3]
+        inv = jax.lax.rsqrt(px * px + py * py + pz * pz + 1e-30)
+        nx = is_s * (px * inv) + (1.0 - is_s) * pre_ref[i, 5]
+        ny = is_s * (py * inv) + (1.0 - is_s) * pre_ref[i, 6]
+        nz = is_s * (pz * inv) + (1.0 - is_s) * pre_ref[i, 7]
+        return nx, ny, nz
+
+    def pre_body(i, carry):
+        t_best, gid_best = carry[0], carry[1]
+        t, inner = _pre_intersect(pre_ref, i, ox, oy, oz, dx, dy, dz, aa,
+                                  inv_dx, inv_dy, inv_dz, use_mt)
+        better = inner & (t < t_best)
+        out = (jnp.where(better, t, t_best),
+               jnp.where(better, pre_ref[i, G_GID], gid_best))
+        if with_normals:
+            out = out + tuple(jnp.where(better, nv, c) for nv, c in
+                              zip(pre_normal(i, t), carry[2:]))
+        return out
+
+    carry = (t0, g0) + n0
+    if n_other and RUN_PREPASS:
+        carry = jax.lax.fori_loop(0, n_other, pre_body, carry)
+    if not RUN_TRAVERSAL:
+        return carry
+
+    def cond(state):
+        return state[0] < m
+
+    def body(state):
+        ptr, k, t_best, gid_best = state[0], state[1], state[2], state[3]
+        nrm = state[4:]
+        entering = k == 0
+        b0x = nodes_ref[ptr, 0]
+        b0y = nodes_ref[ptr, 1]
+        b0z = nodes_ref[ptr, 2]
+        b1x = nodes_ref[ptr, 3]
+        b1y = nodes_ref[ptr, 4]
+        b1z = nodes_ref[ptr, 5]
+        tx0 = (b0x - ox) * inv_dx
+        tx1 = (b1x - ox) * inv_dx
+        ty0 = (b0y - oy) * inv_dy
+        ty1 = (b1y - oy) * inv_dy
+        tz0 = (b0z - oz) * inv_dz
+        tz1 = (b1z - oz) * inv_dz
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                       jnp.minimum(ty0, ty1)),
+                           jnp.minimum(tz0, tz1))
+        tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                       jnp.maximum(ty0, ty1)),
+                           jnp.maximum(tz0, tz1))
+        probe = (tmax >= tmin) & (tmax > 0) & (tmin <= t_best)
+        any_hit = jnp.any(probe)
+
+        st = leaf_start_ref[ptr]
+        cnt = leaf_count_ref[ptr]
+        sk = skip_ref[ptr]
+        is_leaf = cnt > 0
+        start_leaf = entering & any_hit & is_leaf
+        in_leaf = start_leaf | jnp.logical_not(entering)
+
+        row = st + k
+        t, inner = _tri_test(tri_ref, row, ox, oy, oz, dx, dy, dz, use_mt)
+        better = inner & in_leaf & (t < t_best)
+        t_best = jnp.where(better, t, t_best)
+        gid_best = jnp.where(better, tri_ref[row, T_GID], gid_best)
+        if with_normals:
+            tri_n = (tri_ref[row, T_NX], tri_ref[row, T_NY],
+                     tri_ref[row, T_NZ])
+            nrm = tuple(jnp.where(better, nv, c)
+                        for nv, c in zip(tri_n, nrm))
+
+        k_next = k + 1
+        leaf_done = in_leaf & (k_next >= cnt)
+        go_deeper = entering & any_hit & jnp.logical_not(is_leaf)
+        stay = (in_leaf & jnp.logical_not(leaf_done)).astype(jnp.int32)
+        deeper = go_deeper.astype(jnp.int32)
+        new_ptr = stay * ptr + (1 - stay) * (deeper * (ptr + 1)
+                                             + (1 - deeper) * sk)
+        new_k = stay * k_next
+        return (new_ptr, new_k, t_best, gid_best) + nrm
+
+    out = jax.lax.while_loop(cond, body,
+                             (jnp.int32(0), jnp.int32(0)) + carry)
+    return out[2:]
+
+
+def _fused_kernel(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
+                  pre_ref, tri_ref, rays_ref, t_ref, gid_ref, sh_ref,
+                  *, m, n_other, use_mt, shadow_eps):
+    """Closest hit + shadow occlusion in ONE launch. Ray rows 0-5 are the
+    primary ray; rows 6-8 broadcast the light position. The shadow ray is
+    derived exactly as whitted.trace does (origin p + n*shadow_eps,
+    direction normalize(light-p, eps=1e-30)); lanes that missed are parked
+    so the second traversal exits immediately. Emits (t, gid, in_shadow)."""
+    ox = rays_ref[0, 0]
+    oy = rays_ref[1, 0]
+    oz = rays_ref[2, 0]
+    dx = rays_ref[3, 0]
+    dy = rays_ref[4, 0]
+    dz = rays_ref[5, 0]
+    lx = rays_ref[6, 0]
+    ly = rays_ref[7, 0]
+    lz = rays_ref[8, 0]
+
+    t, gid, nx, ny, nz = _closest_pass(
+        leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref, pre_ref,
+        tri_ref, ox, oy, oz, dx, dy, dz,
+        m=m, n_other=n_other, use_mt=use_mt, with_normals=True)
+
+    hit = t < INF
+    ts = jnp.where(hit, t, 0.0)
+    px = ox + ts * dx
+    py = oy + ts * dy
+    pz = oz + ts * dz
+    ldx = lx - px
+    ldy = ly - py
+    ldz = lz - pz
+    dist = jnp.sqrt(ldx * ldx + ldy * ldy + ldz * ldz)
+    inv = 1.0 / jnp.maximum(dist, 1e-30)   # normalize(.., eps=1e-30)
+    sox = jnp.where(hit, px + nx * shadow_eps, whitted.PARK_ORIGIN)
+    soy = jnp.where(hit, py + ny * shadow_eps, whitted.PARK_ORIGIN)
+    soz = jnp.where(hit, pz + nz * shadow_eps, whitted.PARK_ORIGIN)
+    sdx = jnp.where(hit, ldx * inv, whitted._PARK_DIR)
+    sdy = jnp.where(hit, ldy * inv, whitted._PARK_DIR)
+    sdz = jnp.where(hit, ldz * inv, whitted._PARK_DIR)
+    limit = jnp.where(hit, dist, 0.0)
+
+    st, _ = _closest_pass(
+        leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref, pre_ref,
+        tri_ref, sox, soy, soz, sdx, sdy, sdz,
+        m=m, n_other=n_other, use_mt=use_mt, with_normals=False)
+
+    t_ref[0] = t
+    gid_ref[0] = gid
+    sh_ref[0] = (st < limit).astype(jnp.float32)
+
+
+def _cond_kernel(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
+                 pre_ref, tri_ref, rays_ref, t_ref, gid_ref, flag_ref,
+                 *, m, n_other, use_mt):
+    """Cond-split traversal: each while iteration is EITHER a node step
+    (AABB test + descent decision, gated by pl.when) OR a triangle test —
+    not both. The flat one-work-unit machine (_split_body) pays the node
+    AABB chain AND the triangle test AND a cross-lane jnp.any reduce on
+    every iteration; splitting halves the vector work per iteration at the
+    cost of one extra iteration per visited leaf. State: (ptr, k) scalars
+    in the loop carry, k == -1 meaning "at node ptr", k >= 0 meaning
+    "testing triangle k of leaf ptr"; best-hit vectors accumulate directly
+    in the output refs; the node step passes its descend verdict through a
+    1-element SMEM scratch."""
+    ox = rays_ref[0, 0]
+    oy = rays_ref[1, 0]
+    oz = rays_ref[2, 0]
+    dx = rays_ref[3, 0]
+    dy = rays_ref[4, 0]
+    dz = rays_ref[5, 0]
+    aa = dx * dx + dy * dy + dz * dz
+    inv_dx = 1.0 / dx
+    inv_dy = 1.0 / dy
+    inv_dz = 1.0 / dz
+    shape = ox.shape
+
+    t0 = jnp.full(shape, INF, jnp.float32)
+    g0 = jnp.full(shape, -1.0, jnp.float32)
+
+    def pre_body(i, carry):
+        t_best, gid_best = carry
+        t, inner = _pre_intersect(pre_ref, i, ox, oy, oz, dx, dy, dz, aa,
+                                  inv_dx, inv_dy, inv_dz, use_mt)
+        better = inner & (t < t_best)
+        return (jnp.where(better, t, t_best),
+                jnp.where(better, pre_ref[i, G_GID], gid_best))
+
+    carry = (t0, g0)
+    if n_other:
+        carry = jax.lax.fori_loop(0, n_other, pre_body, carry)
+    t_ref[0] = carry[0]
+    gid_ref[0] = carry[1]
+
+    def cond(state):
+        return state[0] < m
+
+    def body(state):
+        ptr, k = state
+        entering = k < 0
+
+        @pl.when(entering)
+        def _node_step():
+            b0x = nodes_ref[ptr, 0]
+            b0y = nodes_ref[ptr, 1]
+            b0z = nodes_ref[ptr, 2]
+            b1x = nodes_ref[ptr, 3]
+            b1y = nodes_ref[ptr, 4]
+            b1z = nodes_ref[ptr, 5]
+            tx0 = (b0x - ox) * inv_dx
+            tx1 = (b1x - ox) * inv_dx
+            ty0 = (b0y - oy) * inv_dy
+            ty1 = (b1y - oy) * inv_dy
+            tz0 = (b0z - oz) * inv_dz
+            tz1 = (b1z - oz) * inv_dz
+            tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                           jnp.minimum(ty0, ty1)),
+                               jnp.minimum(tz0, tz1))
+            tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                           jnp.maximum(ty0, ty1)),
+                               jnp.maximum(tz0, tz1))
+            probe = (tmax >= tmin) & (tmax > 0) & (tmin <= t_ref[0])
+            flag_ref[0] = jnp.any(probe).astype(jnp.int32)
+
+        @pl.when(jnp.logical_not(entering))
+        def _tri_step():
+            row = leaf_start_ref[ptr] + k
+            t, inner = _tri_test(tri_ref, row, ox, oy, oz, dx, dy, dz,
+                                 use_mt)
+            better = inner & (t < t_ref[0])
+            t_ref[0] = jnp.where(better, t, t_ref[0])
+            gid_ref[0] = jnp.where(better, tri_ref[row, T_GID],
+                                   gid_ref[0])
+
+        # scalar state transition (integer arithmetic; cheap on the
+        # scalar unit, no selects — Mosaic legalization)
+        cnt = leaf_count_ref[ptr]
+        sk = skip_ref[ptr]
+        ent = entering.astype(jnp.int32)
+        any_hit = flag_ref[0]                   # valid only when entering
+        is_leaf = (cnt > 0).astype(jnp.int32)
+        start_leaf = ent * any_hit * is_leaf    # node -> first triangle
+        go_deeper = ent * any_hit * (1 - is_leaf)
+        k_next = k + 1
+        more_tris = (1 - ent) * (k_next < cnt).astype(jnp.int32)
+        # priority: start_leaf -> (ptr, 0); go_deeper -> (ptr+1, -1);
+        # more_tris -> (ptr, k+1); else -> (skip, -1)
+        stay = start_leaf | more_tris
+        new_ptr = stay * ptr + (1 - stay) * (
+            go_deeper * (ptr + 1) + (1 - go_deeper) * sk)
+        new_k = start_leaf * 0 + more_tris * k_next + (1 - stay) * (-1)
+        return (new_ptr, new_k)
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(-1)))
+
+
 def _split_kernel(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
                   pre_ref, tri_ref, rays_ref, t_ref, gid_ref, **kw):
     _split_body(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
@@ -500,35 +780,44 @@ def make_closest_hit(split: SplitScene, cfg: RenderConfig,
     interpret = _auto_interpret(cfg)
     th, tw = cfg.tile_h, cfg.tile_w
 
-    def run_comps(comps, occlusion, emit_attrs=False):
+    def run_comps(comps, occlusion, emit_attrs=False, fused=False):
         r = comps[0].shape[0]
         tile = th * tw
         pad = (-r) % tile
         if pad:
-            fills = [2e30, 2e30, 2e30, 1.0, 1.0, 1.0, 0.0]
+            fills = [2e30, 2e30, 2e30, 1.0, 1.0, 1.0] \
+                + [0.0] * (len(comps) - 6)
             comps = [jnp.pad(c, ((0, pad),), constant_values=f)
                      for c, f in zip(comps, fills)]
         g = comps[0].shape[0] // tile
         nrow = len(comps)
         rays = jnp.stack(comps).reshape(nrow, g, th, tw)
 
-        kw = dict(m=split.m, n_other=split.n_other, use_mt=cfg.use_mt,
-                  occlusion=occlusion)
+        base_kw = dict(m=split.m, n_other=split.n_other, use_mt=cfg.use_mt)
+        kw = dict(base_kw, occlusion=occlusion)
         ray_spec = pl.BlockSpec((nrow, 1, th, tw),
                                 lambda i, *_: (0, i, 0, 0),
                                 memory_space=pltpu.VMEM)
-        n_out = 2 + (N_ATTRS if emit_attrs else 0)
+        n_out = 3 if fused else 2 + (N_ATTRS if emit_attrs else 0)
         out_specs = [pl.BlockSpec((1, th, tw), lambda i, *_: (i, 0, 0))
                      for _ in range(n_out)]
         out_shape = [jax.ShapeDtypeStruct((g, th, tw), jnp.float32)
                      for _ in range(n_out)]
-        if emit_attrs:
+        scratch = []
+        if fused:
+            kern = functools.partial(_fused_kernel, **base_kw,
+                                     shadow_eps=float(cfg.shadow_eps))
+        elif USE_COND_STEP and not occlusion and not emit_attrs \
+                and not smem_tables:
+            kern = functools.partial(_cond_kernel, **base_kw)
+            scratch = [pltpu.SMEM((1,), jnp.int32)]
+        elif emit_attrs:
             kern = functools.partial(_split_kernel_attrs, **kw)
         elif smem_tables:
             kern = functools.partial(_split_kernel_smem, **kw)
         else:
             kern = functools.partial(_split_kernel, **kw)
-        if smem_tables and not emit_attrs:
+        if smem_tables and not emit_attrs and not fused:
             spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=6,
                 grid=(g,),
@@ -543,6 +832,7 @@ def make_closest_hit(split: SplitScene, cfg: RenderConfig,
             spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
                 grid=(g,),
+                scratch_shapes=scratch,
                 in_specs=[
                     pl.BlockSpec(split.nodes.shape, lambda i, *_: (0, 0),
                                  memory_space=pltpu.VMEM),
@@ -593,6 +883,19 @@ def make_closest_hit(split: SplitScene, cfg: RenderConfig,
         return t == 0.0
 
     @jax.jit
+    def fused_shadow(o, d, light_pos):
+        """(t, sid, hit, in_shadow) in ONE kernel launch — see
+        _fused_kernel. light_pos: (3,)."""
+        r = o.shape[0]
+        lr = jnp.broadcast_to(light_pos.reshape(3, 1), (3, r))
+        comps = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+                 lr[0], lr[1], lr[2]]
+        t, gid, sh = run_comps(comps, occlusion=False, fused=True)
+        hit = t < INF
+        sid = jnp.maximum(gid, 0.0).astype(jnp.int32)
+        return t, sid, hit, sh > 0.5
+
+    @jax.jit
     def closest_hit_attrs(o, d):
         outs = run(o, d, None, occlusion=False, emit_attrs=True)
         t, gid = outs[0], outs[1]
@@ -620,6 +923,7 @@ def make_closest_hit(split: SplitScene, cfg: RenderConfig,
     closest_hit.with_attrs = closest_hit_attrs
     closest_hit.closest_c = closest_c
     closest_hit.occlusion_c = occlusion_c
+    closest_hit.fused_shadow = fused_shadow
     return closest_hit
 
 
@@ -667,8 +971,10 @@ def _render_impl(scene: FlatScene, split: SplitScene, camera, light,
                                      occlusion_c=occl_c)
     else:
         occl = closest.occlusion if USE_OCCLUSION else None
+        fused = getattr(closest, "fused_shadow", None) \
+            if USE_FUSED_SHADOW and cfg.enable_shadows else None
         colors = whitted.trace(scene, light, closest, o_b, d_b, bg_b, cfg,
-                               occlusion_fn=occl)
+                               occlusion_fn=occl, fused_fn=fused)
     colors = colors.reshape(hp // bh, wp // bw, bh, bw, 3)
     colors = colors.transpose(0, 2, 1, 3, 4).reshape(hp, wp, 3)
     return colors[:h, :w]

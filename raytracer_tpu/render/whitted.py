@@ -67,13 +67,18 @@ def _attr_table(scene: FlatScene) -> jnp.ndarray:
 
 def trace(scene: FlatScene, light: Light, closest_hit_fn: ClosestHitFn,
           o: jnp.ndarray, d: jnp.ndarray, bg: jnp.ndarray,
-          cfg: RenderConfig, occlusion_fn=None) -> jnp.ndarray:
+          cfg: RenderConfig, occlusion_fn=None, fused_fn=None) -> jnp.ndarray:
     """Trace R rays to completion. o, d, bg: (R, 3). Returns colors (R, 3).
 
     occlusion_fn(o, d, max_t) -> bool mask: optional any-hit query used for
     shadow rays instead of the closest-hit (identical result — occluded iff
     ANY INNER hit is closer than the light — but lets kernels terminate
-    early)."""
+    early).
+
+    fused_fn(o, d, light_pos) -> (t, sid, hit, in_shadow): optional
+    closest-hit that ALSO answers the shadow query in the same kernel
+    launch (pallas_split._fused_kernel) — one launch per bounce instead
+    of two. Takes precedence over occlusion_fn."""
     light_pos = light.position
     light_color = light.color
     shadow_eps = jnp.float32(cfg.shadow_eps)
@@ -86,9 +91,13 @@ def trace(scene: FlatScene, light: Light, closest_hit_fn: ClosestHitFn,
     provides_attrs = getattr(closest_hit_fn, "provides_attrs", False)
     attr_tab = _attr_table(scene)
 
+    use_fused = fused_fn is not None and cfg.enable_shadows
+
     def bounce(_, carry):
         o, d, atten, accum, alive = carry
-        if provides_attrs:
+        if use_fused:
+            t, sid, hit, fused_shadow = fused_fn(o, d, light_pos)
+        elif provides_attrs:
             t, sid, hit, attrs = closest_hit_fn(o, d)
         else:
             t, sid, hit = closest_hit_fn(o, d)
@@ -132,7 +141,9 @@ def trace(scene: FlatScene, light: Light, closest_hit_fn: ClosestHitFn,
             n = is_sph * (rel * inv) + (1.0 - is_sph) * row[:, 0:3]
 
         # Shadow ray (comp:466-480 / :562-580).
-        if cfg.enable_shadows:
+        if use_fused:
+            in_shadow = fused_shadow
+        elif cfg.enable_shadows:
             s_o = p + n * shadow_eps
             s_d = normalize(light_pos - p, eps=1e-30)
             light_dist = jnp.linalg.norm(light_pos - p, axis=-1)
