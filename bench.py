@@ -41,7 +41,7 @@ def _run_candidate(name: str):
     if name == "pallas_split":
         from raytracer_tpu.render import pallas_split
 
-        split = pallas_split.prepare(sc.flat, bvh, tri_max_depth=20)
+        split = pallas_split.prepare(sc.flat, bvh)
         fn = lambda: pallas_split.render(sc.flat, bvh, sc.camera, sc.light,
                                          cfg, split=split)
     elif name == "pallas_bvh":

@@ -60,6 +60,38 @@ USE_SOA_PIPELINE = False
 # instead of the flat machine that pays both every iteration.
 USE_COND_STEP = False
 
+# Triangle tests per traversal iteration. The while loop is ITERATION-
+# latency bound (A/B: halving per-iteration vector work via USE_COND_STEP
+# changed nothing), so testing U triangles per iteration against a
+# shallower tree (bigger leaves, see TRI_LEAF_TARGET) cuts iteration
+# count near-linearly while the extra vector lanes ride for free.
+# v5e sweep (scene 1, 800x600x3): U=16 with ~75-triangle leaves gave
+# 47.2 FPS vs 32.4 at U=1/depth-20.
+TRI_UNROLL = 16
+
+# Target leaf size of the triangle-only BVH (any tree is exact — see
+# module docstring). The default tri_max_depth is derived from this so
+# leaves hold a few TRI_UNROLL batches regardless of scene size.
+TRI_LEAF_TARGET = 96
+
+
+def _auto_tri_depth(n_tri: int) -> int:
+    import math
+    if n_tri <= TRI_LEAF_TARGET:
+        return 1
+    return 1 + max(1, math.ceil(math.log2(n_tri / TRI_LEAF_TARGET)))
+
+# Fully unroll the non-triangle pre-pass fori_loop (same iteration-
+# latency argument as TRI_UNROLL; the pre-pass is ~1ms per traversal at
+# n_other=31 rolled). Mosaic supports only unroll=1 or full unroll, so
+# this is a bool, applied when n_other is small enough to inline.
+# v5e A/B: 44.8 -> 47.2 FPS on scene 1 (n_other=31).
+PRE_FULL_UNROLL = True
+
+
+def _pre_unroll(n_other):
+    return n_other if (PRE_FULL_UNROLL and 0 < n_other <= 64) else 1
+
 # Fuse the shadow-ray traversal INTO the closest-hit kernel: one pallas
 # launch per bounce instead of two. At 800x600 the frame is launch/glue
 # bound (~9ms per wave, traversal itself ~1ms), so halving the wave count
@@ -109,12 +141,14 @@ class SplitScene:
         return obj
 
     def __init__(self, scene: FlatScene, ref_bvh: LinearBVH,
-                 tri_max_depth: int = 20):
+                 tri_max_depth: int | None = None):
         st = np.asarray(scene.shape_type)
         tri_ids = np.nonzero(st == TRIANGLE)[0].astype(np.int32)
         other_ids = np.nonzero(st != TRIANGLE)[0].astype(np.int32)
         self.n_other = int(other_ids.shape[0])
         self.n_tri = int(tri_ids.shape[0])
+        if tri_max_depth is None:
+            tri_max_depth = _auto_tri_depth(self.n_tri)
 
         # --- pre-pass rows: non-tri shapes + reference-tree leaf boxes ----
         rows = np.asarray(rowwise.pack_rows(scene))
@@ -190,7 +224,10 @@ class SplitScene:
             tri[:, T_MKS] = np.asarray(scene.mat_specular)[gids]
             tri[:, T_MKF] = np.asarray(scene.mat_fresnel)[gids]
             tri[:, T_MSH] = np.asarray(scene.mat_shininess)[gids]
-        k_pad = max(((tri.shape[0] + 7) // 8) * 8, 8)
+        # +32 guard rows: with TRI_UNROLL = U the unrolled tests may read
+        # (masked-off) rows up to st + cnt - 1 + U - 1 past the last
+        # triangle; zero rows never intersect and are valid-masked anyway
+        k_pad = max(((tri.shape[0] + 32 + 7) // 8) * 8, 8)
         tri = np.pad(tri, ((0, k_pad - tri.shape[0]), (0, 0)))
         self.tri_rows = jnp.asarray(tri)
         pre_pad = max(((pre.shape[0] + 7) // 8) * 8, 8)
@@ -297,7 +334,8 @@ N_ATTRS = 11  # nx, ny, nz, cr, cg, cb, ka, kd, ks, kf, shininess
 
 def _split_body(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
                 pre_ref, tri_ref, rays_ref, t_ref, gid_ref,
-                *, m, n_other, use_mt, occlusion, attr_refs=None):
+                *, m, n_other, use_mt, occlusion, attr_refs=None,
+                unroll=1):
     ox = rays_ref[0, 0]
     oy = rays_ref[1, 0]
     oz = rays_ref[2, 0]
@@ -360,7 +398,8 @@ def _split_body(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
     if occlusion:
         carry = (t0, g0)
         if n_other and RUN_PREPASS:
-            carry = jax.lax.fori_loop(0, n_other, pre_body, carry)
+            carry = jax.lax.fori_loop(0, n_other, pre_body, carry,
+                                      unroll=_pre_unroll(n_other))
         occ_state, _ = carry
         occluded0 = occ_state != INF
         t_best0, gid_best0 = carry
@@ -368,7 +407,8 @@ def _split_body(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
     else:
         carry = (t0, g0) + a0
         if n_other and RUN_PREPASS:
-            carry = jax.lax.fori_loop(0, n_other, pre_body, carry)
+            carry = jax.lax.fori_loop(0, n_other, pre_body, carry,
+                                      unroll=_pre_unroll(n_other))
         t_best0, gid_best0 = carry[0], carry[1]
         attrs0 = carry[2:]
 
@@ -417,26 +457,31 @@ def _split_body(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
         start_leaf = entering & any_hit & is_leaf
         in_leaf = start_leaf | jnp.logical_not(entering)
 
-        row = st + k
-        t, inner = _tri_test(tri_ref, row, ox, oy, oz, dx, dy, dz, use_mt)
-        if occlusion:
-            hit_now = inner & in_leaf & (t < limit)
-            t_best = jnp.where(hit_now, 0.0, t_best)
-        else:
-            better = inner & in_leaf & (t < t_best)
-            t_best = jnp.where(better, t, t_best)
-            gid_best = jnp.where(better, tri_ref[row, T_GID], gid_best)
-            if emit:
-                tri_attrs = (tri_ref[row, T_NX], tri_ref[row, T_NY],
-                             tri_ref[row, T_NZ], tri_ref[row, T_MCR],
-                             tri_ref[row, T_MCG], tri_ref[row, T_MCB],
-                             tri_ref[row, T_MKA], tri_ref[row, T_MKD],
-                             tri_ref[row, T_MKS], tri_ref[row, T_MKF],
-                             tri_ref[row, T_MSH])
-                attrs = tuple(jnp.where(better, na, a)
-                              for na, a in zip(tri_attrs, attrs))
+        for j in range(unroll):
+            row = st + k + j
+            valid = (k + j) < cnt if j else in_leaf  # j=0 gated by in_leaf
+            if j:
+                valid = valid & in_leaf
+            t, inner = _tri_test(tri_ref, row, ox, oy, oz, dx, dy, dz,
+                                 use_mt)
+            if occlusion:
+                hit_now = inner & valid & (t < limit)
+                t_best = jnp.where(hit_now, 0.0, t_best)
+            else:
+                better = inner & valid & (t < t_best)
+                t_best = jnp.where(better, t, t_best)
+                gid_best = jnp.where(better, tri_ref[row, T_GID], gid_best)
+                if emit:
+                    tri_attrs = (tri_ref[row, T_NX], tri_ref[row, T_NY],
+                                 tri_ref[row, T_NZ], tri_ref[row, T_MCR],
+                                 tri_ref[row, T_MCG], tri_ref[row, T_MCB],
+                                 tri_ref[row, T_MKA], tri_ref[row, T_MKD],
+                                 tri_ref[row, T_MKS], tri_ref[row, T_MKF],
+                                 tri_ref[row, T_MSH])
+                    attrs = tuple(jnp.where(better, na, a)
+                                  for na, a in zip(tri_attrs, attrs))
 
-        k_next = k + 1
+        k_next = k + unroll
         leaf_done = in_leaf & (k_next >= cnt)
         go_deeper = entering & any_hit & jnp.logical_not(is_leaf)
         stay = (in_leaf & jnp.logical_not(leaf_done)).astype(jnp.int32)
@@ -518,7 +563,8 @@ def _closest_pass(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
 
     carry = (t0, g0) + n0
     if n_other and RUN_PREPASS:
-        carry = jax.lax.fori_loop(0, n_other, pre_body, carry)
+        carry = jax.lax.fori_loop(0, n_other, pre_body, carry,
+                                      unroll=_pre_unroll(n_other))
     if not RUN_TRAVERSAL:
         return carry
 
@@ -672,7 +718,8 @@ def _cond_kernel(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
 
     carry = (t0, g0)
     if n_other:
-        carry = jax.lax.fori_loop(0, n_other, pre_body, carry)
+        carry = jax.lax.fori_loop(0, n_other, pre_body, carry,
+                                      unroll=_pre_unroll(n_other))
     t_ref[0] = carry[0]
     gid_ref[0] = carry[1]
 
@@ -794,7 +841,7 @@ def make_closest_hit(split: SplitScene, cfg: RenderConfig,
         rays = jnp.stack(comps).reshape(nrow, g, th, tw)
 
         base_kw = dict(m=split.m, n_other=split.n_other, use_mt=cfg.use_mt)
-        kw = dict(base_kw, occlusion=occlusion)
+        kw = dict(base_kw, occlusion=occlusion, unroll=TRI_UNROLL)
         ray_spec = pl.BlockSpec((nrow, 1, th, tw),
                                 lambda i, *_: (0, i, 0, 0),
                                 memory_space=pltpu.VMEM)
@@ -981,13 +1028,13 @@ def _render_impl(scene: FlatScene, split: SplitScene, camera, light,
 
 
 def prepare(scene: FlatScene, ref_bvh: LinearBVH,
-            tri_max_depth: int = 20) -> SplitScene:
+            tri_max_depth: int | None = None) -> SplitScene:
     return SplitScene(scene, ref_bvh, tri_max_depth)
 
 
 def render(scene: FlatScene, bvh, camera: Camera, light: Light,
            cfg: RenderConfig, split: SplitScene = None,
-           tri_max_depth: int = 20,
+           tri_max_depth: int | None = None,
            differentiable: bool = False) -> jnp.ndarray:
     """Render (H, W, 3) with the split-phase megakernel. ``bvh`` is the
     reference LinearBVH (for exact leaf-box gates on non-triangles); pass a
