@@ -32,11 +32,45 @@ def make_frame_fn(scene_meta, cfg: RenderConfig,
     flat') — one jitted animated frame with on-device LBVH rebuild.
 
     ``scene_meta``: a scenes.Scene (for bounce_params / wheels metadata;
-    static). renderer: "wavefront" (XLA gathers) or "pallas" (packet
-    kernel).
+    static). renderer: "wavefront" (XLA gathers), "pallas" (packet
+    kernel), or "split" (the production split kernel — fastest; valid
+    when the animation moves only non-triangle shapes, i.e. no wheels:
+    the static triangle BVH is reused and only the pre-pass rows are
+    refreshed on device via pallas_split.update_pre_rows).
     """
     bounce_params = tuple(scene_meta.bounce_params)
     wheels = scene_meta.wheels
+
+    if renderer == "split":
+        if wheels:
+            raise ValueError(
+                "renderer='split' requires a triangle-static animation "
+                "(wheel animations move triangles); use 'wavefront'")
+        from raytracer_tpu.accel.bvh import build_bvh
+        from raytracer_tpu.accel.linearize import linearize as _linearize
+        from raytracer_tpu.render import pallas_split
+        ref_lin = _linearize(build_bvh(scene_meta.flat,
+                                       scene_meta.bvh_max_depth))
+        split0 = pallas_split.prepare(scene_meta.flat, ref_lin)
+
+        # split0 is passed as a traced argument, not a closure capture:
+        # executables with embedded array constants pay a fixed ~30ms
+        # blocked-dispatch penalty on the tunnel attachment (bench.py).
+        @jax.jit
+        def _frame_split(split_in, flat: FlatScene, camera: Camera,
+                         light: Light, elapsed_t, delta_t):
+            if bounce_params:
+                flat = bounce_spheres(flat, bounce_params, elapsed_t)
+            split = pallas_split.update_pre_rows(split_in, flat)
+            img = pallas_split._render_impl(flat, split, camera, light,
+                                            cfg)
+            return img, flat
+
+        def frame_split(flat, camera, light, elapsed_t, delta_t):
+            return _frame_split(split0, flat, camera, light, elapsed_t,
+                                delta_t)
+
+        return frame_split
 
     @jax.jit
     def frame(flat: FlatScene, camera: Camera, light: Light, elapsed_t,

@@ -128,7 +128,7 @@ class SplitScene:
 
     def tree_flatten(self):
         children = (self.leaf_start, self.leaf_count, self.skip, self.nodes,
-                    self.pre_rows, self.tri_rows)
+                    self.pre_rows, self.tri_rows, self.other_idx)
         aux = (self.n_other, self.n_tri, self.m, self.m_pad)
         return children, aux
 
@@ -136,7 +136,7 @@ class SplitScene:
     def tree_unflatten(cls, aux, children):
         obj = cls.__new__(cls)
         (obj.leaf_start, obj.leaf_count, obj.skip, obj.nodes,
-         obj.pre_rows, obj.tri_rows) = children
+         obj.pre_rows, obj.tri_rows, obj.other_idx) = children
         obj.n_other, obj.n_tri, obj.m, obj.m_pad = aux
         return obj
 
@@ -233,6 +233,7 @@ class SplitScene:
         pre_pad = max(((pre.shape[0] + 7) // 8) * 8, 8)
         pre = np.pad(pre, ((0, pre_pad - pre.shape[0]), (0, 0)))
         self.pre_rows = jnp.asarray(pre)
+        self.other_idx = jnp.asarray(other_ids)
 
     def device_args(self):
         return (self.leaf_start, self.leaf_count, self.skip, self.nodes,
@@ -518,12 +519,13 @@ def _split_body(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
 
 def _closest_pass(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
                   pre_ref, tri_ref, ox, oy, oz, dx, dy, dz,
-                  *, m, n_other, use_mt, with_normals):
+                  *, m, n_other, use_mt, with_normals, unroll=1):
     """One full closest-hit traversal (pre-pass + triangle packet walk) as
     a pure function of ray components, callable multiple times per kernel
-    body. Mirrors _split_body's closest branch exactly; with_normals
-    additionally carries the hit normal (3 extra vector carries) so the
-    caller can derive secondary rays in-register."""
+    body. Mirrors _split_body's closest branch exactly (including the
+    TRI_UNROLL batched triangle tests); with_normals additionally carries
+    the hit normal (3 extra vector carries) so the caller can derive
+    secondary rays in-register."""
     aa = dx * dx + dy * dy + dz * dz
     inv_dx = 1.0 / dx
     inv_dy = 1.0 / dy
@@ -603,18 +605,21 @@ def _closest_pass(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
         start_leaf = entering & any_hit & is_leaf
         in_leaf = start_leaf | jnp.logical_not(entering)
 
-        row = st + k
-        t, inner = _tri_test(tri_ref, row, ox, oy, oz, dx, dy, dz, use_mt)
-        better = inner & in_leaf & (t < t_best)
-        t_best = jnp.where(better, t, t_best)
-        gid_best = jnp.where(better, tri_ref[row, T_GID], gid_best)
-        if with_normals:
-            tri_n = (tri_ref[row, T_NX], tri_ref[row, T_NY],
-                     tri_ref[row, T_NZ])
-            nrm = tuple(jnp.where(better, nv, c)
-                        for nv, c in zip(tri_n, nrm))
+        for j in range(unroll):
+            row = st + k + j
+            valid = in_leaf if j == 0 else ((k + j) < cnt) & in_leaf
+            t, inner = _tri_test(tri_ref, row, ox, oy, oz, dx, dy, dz,
+                                 use_mt)
+            better = inner & valid & (t < t_best)
+            t_best = jnp.where(better, t, t_best)
+            gid_best = jnp.where(better, tri_ref[row, T_GID], gid_best)
+            if with_normals:
+                tri_n = (tri_ref[row, T_NX], tri_ref[row, T_NY],
+                         tri_ref[row, T_NZ])
+                nrm = tuple(jnp.where(better, nv, c)
+                            for nv, c in zip(tri_n, nrm))
 
-        k_next = k + 1
+        k_next = k + unroll
         leaf_done = in_leaf & (k_next >= cnt)
         go_deeper = entering & any_hit & jnp.logical_not(is_leaf)
         stay = (in_leaf & jnp.logical_not(leaf_done)).astype(jnp.int32)
@@ -631,7 +636,7 @@ def _closest_pass(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
 
 def _fused_kernel(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
                   pre_ref, tri_ref, rays_ref, t_ref, gid_ref, sh_ref,
-                  *, m, n_other, use_mt, shadow_eps):
+                  *, m, n_other, use_mt, shadow_eps, unroll=1):
     """Closest hit + shadow occlusion in ONE launch. Ray rows 0-5 are the
     primary ray; rows 6-8 broadcast the light position. The shadow ray is
     derived exactly as whitted.trace does (origin p + n*shadow_eps,
@@ -650,7 +655,8 @@ def _fused_kernel(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
     t, gid, nx, ny, nz = _closest_pass(
         leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref, pre_ref,
         tri_ref, ox, oy, oz, dx, dy, dz,
-        m=m, n_other=n_other, use_mt=use_mt, with_normals=True)
+        m=m, n_other=n_other, use_mt=use_mt, with_normals=True,
+        unroll=unroll)
 
     hit = t < INF
     ts = jnp.where(hit, t, 0.0)
@@ -673,7 +679,8 @@ def _fused_kernel(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
     st, _ = _closest_pass(
         leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref, pre_ref,
         tri_ref, sox, soy, soz, sdx, sdy, sdz,
-        m=m, n_other=n_other, use_mt=use_mt, with_normals=False)
+        m=m, n_other=n_other, use_mt=use_mt, with_normals=False,
+        unroll=unroll)
 
     t_ref[0] = t
     gid_ref[0] = gid
@@ -853,7 +860,8 @@ def make_closest_hit(split: SplitScene, cfg: RenderConfig,
         scratch = []
         if fused:
             kern = functools.partial(_fused_kernel, **base_kw,
-                                     shadow_eps=float(cfg.shadow_eps))
+                                     shadow_eps=float(cfg.shadow_eps),
+                                     unroll=TRI_UNROLL)
         elif USE_COND_STEP and not occlusion and not emit_attrs \
                 and not smem_tables:
             kern = functools.partial(_cond_kernel, **base_kw)
@@ -1025,6 +1033,52 @@ def _render_impl(scene: FlatScene, split: SplitScene, camera, light,
     colors = colors.reshape(hp // bh, wp // bw, bh, bw, 3)
     colors = colors.transpose(0, 2, 1, 3, 4).reshape(hp, wp, 3)
     return colors[:h, :w]
+
+
+def update_pre_rows(split: SplitScene, scene: FlatScene) -> SplitScene:
+    """Device-side per-frame refresh of the pre-pass rows, for animations
+    that move only NON-triangle shapes (e.g. scene 1's bouncing spheres,
+    reference src/main.cpp:939-967): geometry and material columns are
+    re-packed from the current scene; the leaf-box gate becomes the
+    shape's own current AABB for contained shapes (an exact gate — the
+    shape is inside it by construction, mirroring the reference's
+    grow-refit keeping moved spheres inside their leaf, main.cpp:1068-77)
+    while degenerate walls keep their stored reference-tree box (their
+    visibility IS that box, and they never move). Triangle rows and the
+    triangle BVH are untouched. Pure jnp: call inside jit once per frame.
+    """
+    from raytracer_tpu.core.scene import WALL
+    from raytracer_tpu.geom.aabb import shape_aabbs_jnp
+    from raytracer_tpu.geom.direct import wall_basis
+
+    if split.n_other == 0:
+        return split
+    idx = split.other_idx
+    rows24 = rowwise.pack_rows(scene)[idx]
+    amin, amax = shape_aabbs_jnp(scene)
+    _, _, wdeg = wall_basis(scene.plane_normal)
+    deg = (wdeg & (scene.shape_type == WALL))[idx][:, None]
+    old = split.pre_rows[:split.n_other]
+    bmin = jnp.where(deg, old[:, G_B0X:G_B0X + 3], amin[idx])
+    bmax = jnp.where(deg, old[:, G_B1X:G_B1X + 3], amax[idx])
+    new = jnp.concatenate([
+        rows24,
+        old[:, G_GID:G_GID + 1],
+        bmin, bmax,
+        scene.mat_color[idx],
+        scene.mat_ambient[idx, None],
+        scene.mat_diffuse[idx, None],
+        scene.mat_specular[idx, None],
+        scene.mat_fresnel[idx, None],
+        scene.mat_shininess[idx, None],
+    ], axis=1)
+    pad = split.pre_rows.shape[0] - split.n_other
+    if pad:
+        new = jnp.pad(new, ((0, pad), (0, 0)))
+    children, aux = split.tree_flatten()
+    children = list(children)
+    children[4] = new
+    return SplitScene.tree_unflatten(aux, tuple(children))
 
 
 def prepare(scene: FlatScene, ref_bvh: LinearBVH,

@@ -36,3 +36,43 @@ def test_animated_pallas_matches_wavefront():
     iw, _ = f_w(sc.flat, sc.camera, sc.light, 0.5, 1 / 30)
     ip, _ = f_p(sc.flat, sc.camera, sc.light, 0.5, 1 / 30)
     np.testing.assert_allclose(np.asarray(ip), np.asarray(iw), atol=2e-5)
+
+
+def test_animated_split_matches_refit_oracle():
+    """Triangle-static animation through the production split kernel
+    (device-side pre-row refresh) matches the REFERENCE dynamic semantic:
+    a grow-refit (updateBVH, main.cpp:1068-1077) of the original tree,
+    rendered through the static split pipeline. (The wavefront dynamic
+    path rebuilds an LBVH instead, which gates the infinite floor by the
+    NEW tree's leaf box — a deliberate, documented divergence — so the
+    oracle here is refit, not wavefront.)"""
+    from raytracer_tpu.accel import build_bvh, linearize
+    from raytracer_tpu.anim.animation import bounce_spheres
+    from raytracer_tpu.render import pallas_split
+
+    sc = generate_scene1()
+    f_s = make_frame_fn(sc, CFG, renderer="split")
+    from raytracer_tpu.accel.bvh import refit_grow
+    for t in (0.0, 0.5, 1.3):
+        flat_t = bounce_spheres(sc.flat, tuple(sc.bounce_params), t)
+        bvh_t = refit_grow(build_bvh(sc.flat, sc.bvh_max_depth), flat_t)
+        lin_t = linearize(bvh_t)
+        oracle = pallas_split.render(flat_t, lin_t, sc.camera, sc.light,
+                                     CFG)
+        isp, _ = f_s(sc.flat, sc.camera, sc.light, t, 1 / 30)
+        d = np.abs(np.asarray(isp) - np.asarray(oracle)).max(axis=-1)
+        # animation transforms are evaluated inside jit on one path and
+        # on the host on the other; a 1-ulp difference in a sphere center
+        # can flip the winner at a silhouette pixel, so allow a handful
+        # of grazing-tie pixels but keep everything else bit-tight
+        assert (d > 1e-4).mean() < 0.005, (d.max(), (d > 1e-4).sum())
+        assert np.median(d) <= 1e-6
+
+
+def test_split_rejects_wheel_animation():
+    from raytracer_tpu.scenes import generate_scene2
+    sc2 = generate_scene2()
+    if not sc2.wheels:
+        pytest.skip("scene 2 has no wheel metadata")
+    with pytest.raises(ValueError):
+        make_frame_fn(sc2, CFG, renderer="split")
