@@ -34,7 +34,7 @@ def _run_candidate(name: str):
     from raytracer_tpu.scenes import generate_scene1
 
     cfg = RenderConfig(width=800, height=600, max_bounces=3, use_bvh=True,
-                       ray_chunk=480000, tile_h=16, tile_w=256)
+                       ray_chunk=480000, tile_h=16, tile_w=128)
     sc = generate_scene1()
     bvh = linearize(build_bvh(sc.flat, sc.bvh_max_depth))
 

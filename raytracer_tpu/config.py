@@ -51,7 +51,7 @@ class RenderConfig:
 
     # TPU execution knobs.
     ray_chunk: int = 8192
-    tile_h: int = 64
+    tile_h: int = 16
     tile_w: int = 128
     interpret: Optional[bool] = None  # Pallas interpret mode; None = auto
 

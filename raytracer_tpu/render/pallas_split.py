@@ -93,12 +93,12 @@ def _pre_unroll(n_other):
     return n_other if (PRE_FULL_UNROLL and 0 < n_other <= 64) else 1
 
 # Fuse the shadow-ray traversal INTO the closest-hit kernel: one pallas
-# launch per bounce instead of two. At 800x600 the frame is launch/glue
-# bound (~9ms per wave, traversal itself ~1ms), so halving the wave count
-# is the single biggest lever. The kernel finds the closest hit, derives
-# the shadow ray in-register (hit point + normal offset, exactly
-# whitted.trace's formulas), and runs a second traversal toward the light.
-USE_FUSED_SHADOW = False
+# launch per bounce instead of two. The kernel finds the closest hit,
+# derives the shadow ray in-register (hit point + normal offset, exactly
+# whitted.trace's formulas), and runs a second traversal toward the
+# light. v5e A/B at TRI_UNROLL=16, tile 16x128: 49.8 -> 51.0 FPS
+# (bit-exact); also removes the shadow-ray XLA glue per bounce.
+USE_FUSED_SHADOW = True
 
 # pre-pass row layout: geom pack (24) + gid + leaf box (6) + material (8)
 G_GID = 24
