@@ -125,10 +125,14 @@ def cmd_animate(args):
     dt = 1.0 / args.fps_assumed
 
     if args.dynamic:
-        # fully on-device: animate + LBVH rebuild + render in one jit
+        # fully on-device: animate + (rebuild|refresh) + render in one jit
         from raytracer_tpu.render.dynamic import make_frame_fn
-        renderer = "pallas" if args.renderer.startswith("pallas") else \
-            "wavefront"
+        if args.renderer == "pallas-split" and not sc.wheels:
+            renderer = "split"      # production kernel, pre-row refresh
+        elif args.renderer.startswith("pallas"):
+            renderer = "pallas"     # packet kernel over rebuilt LBVH
+        else:
+            renderer = "wavefront"
         frame_fn = make_frame_fn(sc, cfg, renderer=renderer)
         flat = sc.flat
         for frame in range(args.frames):

@@ -90,7 +90,9 @@ PRE_FULL_UNROLL = True
 
 
 def _pre_unroll(n_other):
-    return n_other if (PRE_FULL_UNROLL and 0 < n_other <= 64) else 1
+    # 128 inlined union-intersect bodies (~8k vector ops) still compile
+    # fast; scene 2's 100 spheres fall under this cap
+    return n_other if (PRE_FULL_UNROLL and 0 < n_other <= 128) else 1
 
 # Fuse the shadow-ray traversal INTO the closest-hit kernel: one pallas
 # launch per bounce instead of two. The kernel finds the closest hit,

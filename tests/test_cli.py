@@ -44,3 +44,13 @@ def test_animate_command(tmp_path):
     cli.main(["animate", "--scene", "3", "--width", "32", "--height", "24",
               "--renderer", "reference", "--frames", "2", "--out-dir", d])
     assert sorted(os.listdir(d)) == ["frame_0000.png", "frame_0001.png"]
+
+
+def test_animate_dynamic_split(tmp_path):
+    """--dynamic with the production split kernel: scene 1 is triangle-
+    static, so the CLI routes to the device pre-row-refresh path."""
+    d = str(tmp_path / "frames")
+    cli.main(["animate", "--scene", "1", "--width", "32", "--height", "24",
+              "--renderer", "pallas-split", "--dynamic", "--frames", "2",
+              "--out-dir", d])
+    assert sorted(os.listdir(d)) == ["frame_0000.png", "frame_0001.png"]
