@@ -14,6 +14,16 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Interpret-mode speed: the production default (fused closest+shadow
+# kernel) doubles every interpret-mode traversal for zero extra CPU-test
+# coverage — the fused kernel's semantics are pinned explicitly by
+# tests/test_fused_shadow.py, which sets the flag itself. The full suite
+# was verified green WITH the fused default on 2026-08-17 (136 passed);
+# keeping it off here returns the suite to ~half the wall time.
+from raytracer_tpu.render import pallas_split  # noqa: E402
+
+pallas_split.USE_FUSED_SHADOW = False
+
 
 @pytest.fixture(scope="session")
 def rng():
