@@ -4,12 +4,19 @@ the reference's headline config (README.md:4: 30+ FPS on an RTX 3070).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 vs_baseline is FPS / 30 (the reference's published number).
 
-Robustness: the TPU remote Mosaic compile service intermittently wedges,
-and a blocked compile IGNORES signals (SIGALRM never fires) — so each
-renderer candidate runs in a SUBPROCESS that can be hard-killed on
-timeout. Candidates are tried in speed order; once one exceeds 5 FPS the
-rest are skipped; the pure-XLA oracle (no Pallas, never wedges) is the
-last resort.
+Robustness (the round-1 failure mode was a wedged Mosaic remote compile
+locking in a slow fallback):
+- A PERSISTENT JAX COMPILATION CACHE at .jax_cache/ (committed, pre-warmed
+  on the same container) makes the production kernel load without touching
+  the remote Mosaic compile service at all.
+- Each candidate runs in a SUBPROCESS that can be hard-killed on timeout
+  (a blocked Mosaic compile ignores signals). The TPU attach alone can take
+  4-9 minutes at 0% CPU, so per-candidate timeouts are generous and the
+  production candidate gets a RETRY before falling through.
+- Early exit only once a candidate BEATS the baseline with margin
+  (>= 1.2x); a slow fallback never short-circuits a faster candidate.
+- A soft global budget reserves a slot for the pure-XLA oracle (no Pallas,
+  never wedges) as the last resort.
 """
 
 import json
@@ -18,16 +25,36 @@ import subprocess
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 BASELINE_FPS = 30.0
-CANDIDATE_TIMEOUT_S = 420
-CANDIDATES = ["pallas_split", "pallas_bvh", "wavefront", "reference_oracle"]
+CACHE_DIR = os.path.join(REPO, ".jax_cache")
+GOOD_ENOUGH_FPS = 1.2 * BASELINE_FPS   # stop trying further candidates
+TOTAL_BUDGET_S = 2400                  # soft cap across all candidates
+ORACLE_RESERVE_S = 420                 # keep room for the no-Pallas fallback
+# (name, timeout_s, attempts) in speed order; pallas_split is production.
+CANDIDATES = [
+    ("pallas_split", 780, 2),
+    ("pallas_bvh", 600, 1),
+    ("wavefront", 420, 1),
+    ("reference_oracle", 420, 1),
+]
+
+
+def _enable_compile_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 def _run_candidate(name: str):
     """Child-process entry: benchmark one renderer, print one JSON line."""
     import jax
+
+    _enable_compile_cache()
 
     from raytracer_tpu.accel import build_bvh, linearize
     from raytracer_tpu.config import RenderConfig
@@ -88,38 +115,51 @@ def _run_candidate(name: str):
 
 
 def main():
+    t_start = time.perf_counter()
     best = None
     details = {}
     device = "unknown"
-    for name in CANDIDATES:
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--candidate", name],
-                capture_output=True, text=True,
-                timeout=CANDIDATE_TIMEOUT_S)
-            line = None
-            for ln in proc.stdout.splitlines():
-                if ln.startswith('{"__bench__"'):
-                    line = json.loads(ln)
-            if line is None:
-                err = (proc.stderr or "").strip().splitlines()
-                details[name] = "error: " + (err[-1][:120] if err
-                                             else "no output")
-                continue
-            fps = line["fps"]
-            device = line.get("device", device)
-            details[name] = round(fps, 3)
-            details[name + "_blocked_latency_ms"] = \
-                line.get("blocked_latency_ms")
-            if best is None or fps > best[1]:
-                best = (name, fps)
-            if fps > 5.0:
-                break  # good result; minimize compile-service exposure
-        except subprocess.TimeoutExpired:
-            details[name] = "error: timeout (compile service wedged?)"
-        except Exception as e:  # pragma: no cover
-            details[name] = f"error: {type(e).__name__}"
+    for name, cand_timeout, attempts in CANDIDATES:
+        for attempt in range(attempts):
+            elapsed = time.perf_counter() - t_start
+            remaining = TOTAL_BUDGET_S - elapsed
+            if best is None and name != "reference_oracle":
+                remaining -= ORACLE_RESERVE_S  # keep the fallback reachable
+            timeout = min(cand_timeout, remaining)
+            if timeout < 120:
+                details.setdefault(name, "skipped: budget exhausted")
+                break
+            key = name if attempt == 0 else f"{name}_retry{attempt}"
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--candidate", name],
+                    capture_output=True, text=True, timeout=timeout,
+                    env={**os.environ,
+                         "JAX_COMPILATION_CACHE_DIR": CACHE_DIR})
+                line = None
+                for ln in proc.stdout.splitlines():
+                    if ln.startswith('{"__bench__"'):
+                        line = json.loads(ln)
+                if line is None:
+                    err = (proc.stderr or "").strip().splitlines()
+                    details[key] = "error: " + (err[-1][:120] if err
+                                                else "no output")
+                    continue
+                fps = line["fps"]
+                device = line.get("device", device)
+                details[key] = round(fps, 3)
+                details[key + "_blocked_latency_ms"] = \
+                    line.get("blocked_latency_ms")
+                if best is None or fps > best[1]:
+                    best = (name, fps)
+                break  # candidate succeeded; no retry needed
+            except subprocess.TimeoutExpired:
+                details[key] = "error: timeout (compile service wedged?)"
+            except Exception as e:  # pragma: no cover
+                details[key] = f"error: {type(e).__name__}"
+        if best is not None and best[1] >= GOOD_ENOUGH_FPS:
+            break  # beats baseline with margin; stop spending budget
 
     if best is None:
         print(json.dumps({"metric": "scene1_800x600_fps", "value": 0.0,
@@ -127,6 +167,9 @@ def main():
                           "all": details}))
         return
     name, fps = best
+    # Ray throughput: each of the 3 Whitted waves traces a closest-hit AND
+    # a shadow ray per pixel (fused kernel: one launch, two traversals).
+    rays_per_frame = 800 * 600 * 3 * 2
     print(json.dumps({
         "metric": "scene1_800x600_fps",
         "value": round(fps, 3),
@@ -134,6 +177,7 @@ def main():
         "vs_baseline": round(fps / BASELINE_FPS, 4),
         "renderer": name,
         "mpixels_per_s": round(800 * 600 * fps / 1e6, 2),
+        "mrays_per_s": round(rays_per_frame * fps / 1e6, 1),
         "all": details,
         "device": device,
     }))

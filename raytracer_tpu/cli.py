@@ -75,27 +75,28 @@ def _build(args):
     return cfg, sc, bvh
 
 
-def _render_frame(cfg, sc, flat, bvh, renderer: str):
+def _render_frame(cfg, sc, flat, bvh, renderer: str, camera=None):
+    cam = sc.camera if camera is None else camera
     if renderer == "wavefront" and bvh is not None:
         from raytracer_tpu.render import wavefront
-        return wavefront.render(flat, bvh, sc.camera, sc.light, cfg)
+        return wavefront.render(flat, bvh, cam, sc.light, cfg)
     if renderer == "cpu":
         from raytracer_tpu.render.cpu_fallback import render
-        return render(flat, sc.camera, sc.light, cfg)
+        return render(flat, cam, sc.light, cfg)
     if renderer == "pallas":
         from raytracer_tpu.render import pallas_kernel
-        return pallas_kernel.render(flat, bvh, sc.camera, sc.light, cfg)
+        return pallas_kernel.render(flat, bvh, cam, sc.light, cfg)
     if renderer == "pallas-bvh":
         from raytracer_tpu.render import pallas_bvh
-        return pallas_bvh.render(flat, bvh, sc.camera, sc.light, cfg)
+        return pallas_bvh.render(flat, bvh, cam, sc.light, cfg)
     if renderer == "pallas-split":
         from raytracer_tpu.render import pallas_split
-        return pallas_split.render(flat, bvh, sc.camera, sc.light, cfg)
+        return pallas_split.render(flat, bvh, cam, sc.light, cfg)
     if renderer == "pallas-mega":
         from raytracer_tpu.render import pallas_mega
-        return pallas_mega.render(flat, bvh, sc.camera, sc.light, cfg)
+        return pallas_mega.render(flat, bvh, cam, sc.light, cfg)
     from raytracer_tpu.render.reference import render
-    return render(flat, sc.camera, sc.light, cfg)
+    return render(flat, cam, sc.light, cfg)
 
 
 def cmd_render(args):
@@ -165,6 +166,78 @@ def cmd_animate(args):
           f"(last fps={timer.fps:.1f})")
 
 
+_KEYMAP = {"w": "forward", "s": "backward", "a": "left", "d": "right",
+           "space": "up", "ctrl": "down"}
+
+
+def cmd_play(args):
+    """Interactive session: the reference's per-frame input loop
+    (processInput src/main.cpp:509-528, mouse_callback :530-551) driven by
+    scripted/stdin events instead of GLFW callbacks.
+
+    Event lines (one per frame; '#' comments and blanks skipped):
+      key w [dt]      WASD/space/ctrl camera move (default dt 1/30 s)
+      mouse DX DY     mouse-look (pixels; reference sensitivity)
+      wait            render a frame with no input
+      quit            stop
+
+    Each event renders one frame. Frames go to --out-dir when given
+    (every --save-every'th), and per-frame stats are printed as JSON.
+    """
+    import jax
+    import numpy as np
+    from raytracer_tpu.core import camera as cam_ops
+    from raytracer_tpu.utils.timing import FrameTimer
+
+    cfg, sc, bvh = _build(args)
+    cam = sc.camera
+    stream = (sys.stdin if args.script == "-"
+              else open(args.script, "r", encoding="utf-8"))
+    if args.out_dir:
+        os.makedirs(args.out_dir, exist_ok=True)
+    timer = FrameTimer()
+    frame = 0
+    default_dt = 1.0 / args.fps_assumed
+    try:
+        for raw in stream:
+            line = raw.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            if parts[0] == "quit":
+                break
+            elif parts[0] == "key":
+                direction = _KEYMAP.get(parts[1].lower())
+                if direction is None:
+                    print(f"# unknown key {parts[1]!r}", file=sys.stderr)
+                    continue
+                dt = float(parts[2]) if len(parts) > 2 else default_dt
+                cam = cam_ops.move(cam, direction, dt)
+            elif parts[0] == "mouse":
+                cam = cam_ops.mouse_look(cam, float(parts[1]),
+                                         float(parts[2]))
+            elif parts[0] != "wait":
+                print(f"# unknown event {parts[0]!r}", file=sys.stderr)
+                continue
+            img = jax.block_until_ready(
+                _render_frame(cfg, sc, sc.flat, bvh, args.renderer,
+                              camera=cam))
+            timer.tick()
+            if args.out_dir and frame % max(args.save_every, 1) == 0:
+                from raytracer_tpu.io import write_png
+                write_png(os.path.join(args.out_dir,
+                                       f"play_{frame:04d}.png"),
+                          np.asarray(img))
+            pos = np.asarray(cam.position).round(4).tolist()
+            print(json.dumps({"frame": frame, "pos": pos,
+                              "fps": round(timer.fps, 2)}))
+            frame += 1
+    finally:
+        if stream is not sys.stdin:
+            stream.close()
+    print(f"# {frame} frames rendered")
+
+
 def cmd_bench(args):
     import jax
     from raytracer_tpu.utils.timing import benchmark
@@ -224,6 +297,18 @@ def main(argv=None):
                     help="on-device animate + LBVH rebuild (one jit/frame)")
     sp.add_argument("--out-dir", default="frames")
     sp.set_defaults(fn=cmd_animate)
+
+    sp = sub.add_parser("play", help="interactive session driven by "
+                                     "scripted/stdin key-mouse events")
+    common(sp)
+    sp.add_argument("--script", default="-",
+                    help="event file, or - for stdin (default)")
+    sp.add_argument("--fps-assumed", type=float, default=30.0,
+                    help="default delta-time for key events without one")
+    sp.add_argument("--out-dir", default=None,
+                    help="save frames here (omit to skip PNG output)")
+    sp.add_argument("--save-every", type=int, default=1)
+    sp.set_defaults(fn=cmd_play)
 
     sp = sub.add_parser("bench", help="benchmark a renderer")
     common(sp)

@@ -3,5 +3,6 @@
 # registration in sitecustomize (which otherwise blocks interpreter startup
 # on network for minutes); tests force JAX_PLATFORMS=cpu anyway (conftest).
 cd "$(dirname "$0")"
+if [ $# -eq 0 ]; then set -- -x -q; fi
 PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
-  exec python -m pytest tests/ "${@:--x -q}"
+  exec python -m pytest tests/ "$@"

@@ -46,6 +46,37 @@ def test_animate_command(tmp_path):
     assert sorted(os.listdir(d)) == ["frame_0000.png", "frame_0001.png"]
 
 
+def test_play_scripted_session(tmp_path, capsys):
+    """Interactive driver: scripted key/mouse events move the camera across
+    frames (the reference's processInput loop, main.cpp:509-551, as a used
+    path rather than test-only pure functions)."""
+    script = tmp_path / "session.txt"
+    script.write_text(
+        "# walk forward, look right, strafe\n"
+        "key w 0.5\n"
+        "mouse 40 0\n"
+        "key d 0.5\n"
+        "wait\n"
+        "quit\n")
+    d = str(tmp_path / "frames")
+    cli.main(["play", "--scene", "3", "--width", "32", "--height", "24",
+              "--renderer", "reference", "--script", str(script),
+              "--out-dir", d])
+    out = capsys.readouterr().out.strip().splitlines()
+    stats = [json.loads(l) for l in out if l.startswith("{")]
+    assert len(stats) == 4  # one frame per non-quit event
+    # camera moved: forward (w) changes position; frame 0 vs 2 differ
+    assert stats[0]["pos"] != stats[2]["pos"]
+    # 'mouse'/'wait' do not move the position
+    assert stats[0]["pos"] == stats[1]["pos"]
+    assert stats[2]["pos"] == stats[3]["pos"]
+    frames = sorted(os.listdir(d))
+    assert frames == [f"play_{i:04d}.png" for i in range(4)]
+    # the rendered images actually changed as the camera moved
+    imgs = [open(os.path.join(d, f), "rb").read() for f in frames]
+    assert imgs[0] != imgs[1] or imgs[1] != imgs[2]
+
+
 def test_animate_dynamic_split(tmp_path):
     """--dynamic with the production split kernel: scene 1 is triangle-
     static, so the CLI routes to the device pre-row-refresh path."""
