@@ -130,6 +130,7 @@ def main():
                 details.setdefault(name, "skipped: budget exhausted")
                 break
             key = name if attempt == 0 else f"{name}_retry{attempt}"
+            t_att = time.perf_counter()
             try:
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
@@ -153,9 +154,12 @@ def main():
                     line.get("blocked_latency_ms")
                 if best is None or fps > best[1]:
                     best = (name, fps)
+                details[key + "_elapsed_s"] = \
+                    round(time.perf_counter() - t_att, 1)
                 break  # candidate succeeded; no retry needed
             except subprocess.TimeoutExpired:
-                details[key] = "error: timeout (compile service wedged?)"
+                details[key] = (f"error: timeout after {int(timeout)}s "
+                                "(slow attach or wedged compile)")
             except Exception as e:  # pragma: no cover
                 details[key] = f"error: {type(e).__name__}"
         if best is not None and best[1] >= GOOD_ENOUGH_FPS:

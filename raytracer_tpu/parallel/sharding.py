@@ -79,12 +79,41 @@ def trace_sharded(scene: FlatScene, light: Light, o, d, bg,
     )(scene, light, leaf_boxes, o, d, bg)
 
 
-@partial(jax.jit, static_argnames=("cfg", "mesh"))
-def render_sharded(scene: FlatScene, camera: Camera, light: Light,
-                   cfg: RenderConfig, mesh: Mesh,
-                   bvh: Optional[LinearBVH] = None,
-                   leaf_boxes=None) -> jnp.ndarray:
-    """Full-frame render with pixels sharded over the mesh. (H, W, 3)."""
+def trace_sharded_split(scene: FlatScene, split, light: Light, o, d, bg,
+                        cfg: RenderConfig, mesh: Mesh,
+                        differentiable: bool = False) -> jnp.ndarray:
+    """The PRODUCTION path under the mesh: the split-phase Pallas kernel
+    (render/pallas_split.py) traced per ray shard, scene + SplitScene
+    replicated. Pallas runs natively per-device on TPU and in interpret
+    mode on the CPU test mesh (_auto_interpret). With ``differentiable``,
+    gradients flow via diff/kernel_vjp and transpose to a psum over the
+    mesh — the data-parallel training step of inverse rendering."""
+    from raytracer_tpu.render import pallas_split
+
+    axis = mesh.axis_names[0]
+
+    def shard_fn(scene_, split_, light_, o_, d_, bg_):
+        closest = pallas_split.make_closest_hit(split_, cfg)
+        fused = None
+        if differentiable:
+            from raytracer_tpu.diff.kernel_vjp import \
+                make_differentiable_closest
+            closest = make_differentiable_closest(scene_, closest,
+                                                  cfg.use_mt)
+        elif pallas_split.USE_FUSED_SHADOW and cfg.enable_shadows:
+            fused = closest.fused_shadow
+        return whitted.trace(scene_, light_, closest, o_, d_, bg_, cfg,
+                             fused_fn=fused)
+
+    return shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis)),
+        out_specs=P(axis), check_vma=False,
+    )(scene, split, light, o, d, bg)
+
+
+def _frame_rays(camera: Camera, cfg: RenderConfig, n_dev: int):
+    """Flattened padded (o, d, bg) for a full frame, divisible by n_dev."""
     h, w = cfg.height, cfg.width
     o, d = cam_ops.camera_rays(camera, w, h)
     ys = jnp.arange(h, dtype=jnp.float32) / h
@@ -94,13 +123,35 @@ def render_sharded(scene: FlatScene, camera: Camera, light: Light,
     d = d.reshape(-1, 3)
     bg = bg.reshape(-1, 3)
     n_rays = o.shape[0]
-    n_dev = mesh.devices.size
     pad = (-n_rays) % n_dev
     if pad:
         o = jnp.pad(o, ((0, pad), (0, 0)))
         d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
         bg = jnp.pad(bg, ((0, pad), (0, 0)))
+    return o, d, bg, n_rays
 
+
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def render_sharded(scene: FlatScene, camera: Camera, light: Light,
+                   cfg: RenderConfig, mesh: Mesh,
+                   bvh: Optional[LinearBVH] = None,
+                   leaf_boxes=None) -> jnp.ndarray:
+    """Full-frame render with pixels sharded over the mesh. (H, W, 3)."""
+    h, w = cfg.height, cfg.width
+    o, d, bg, n_rays = _frame_rays(camera, cfg, mesh.devices.size)
     colors = trace_sharded(scene, light, o, d, bg, cfg, mesh, bvh,
                            leaf_boxes)
+    return colors[:n_rays].reshape(h, w, 3)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh", "differentiable"))
+def render_sharded_split(scene: FlatScene, split, camera: Camera,
+                         light: Light, cfg: RenderConfig, mesh: Mesh,
+                         differentiable: bool = False) -> jnp.ndarray:
+    """Full-frame PRODUCTION render (split Pallas kernel) with pixels
+    sharded over the mesh. (H, W, 3)."""
+    h, w = cfg.height, cfg.width
+    o, d, bg, n_rays = _frame_rays(camera, cfg, mesh.devices.size)
+    colors = trace_sharded_split(scene, split, light, o, d, bg, cfg, mesh,
+                                 differentiable=differentiable)
     return colors[:n_rays].reshape(h, w, 3)
