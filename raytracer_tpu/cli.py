@@ -128,8 +128,8 @@ def cmd_animate(args):
     if args.dynamic:
         # fully on-device: animate + (rebuild|refresh) + render in one jit
         from raytracer_tpu.render.dynamic import make_frame_fn
-        if args.renderer == "pallas-split" and not sc.wheels:
-            renderer = "split"      # production kernel, pre-row refresh
+        if args.renderer == "pallas-split":
+            renderer = "split"      # production kernel, device refresh
         elif args.renderer.startswith("pallas"):
             renderer = "pallas"     # packet kernel over rebuilt LBVH
         else:

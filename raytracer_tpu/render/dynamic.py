@@ -42,10 +42,6 @@ def make_frame_fn(scene_meta, cfg: RenderConfig,
     wheels = scene_meta.wheels
 
     if renderer == "split":
-        if wheels:
-            raise ValueError(
-                "renderer='split' requires a triangle-static animation "
-                "(wheel animations move triangles); use 'wavefront'")
         from raytracer_tpu.accel.bvh import build_bvh
         from raytracer_tpu.accel.linearize import linearize as _linearize
         from raytracer_tpu.render import pallas_split
@@ -61,7 +57,13 @@ def make_frame_fn(scene_meta, cfg: RenderConfig,
                          light: Light, elapsed_t, delta_t):
             if bounce_params:
                 flat = bounce_spheres(flat, bounce_params, elapsed_t)
-            split = pallas_split.update_pre_rows(split_in, flat)
+            if wheels:
+                # triangles move: refresh tri rows + refit the tri tree
+                # on device (pallas_split.update_tri_rows)
+                flat = rotate_wheels(flat, wheels, delta_t)
+                split = pallas_split.update_dynamic(split_in, flat)
+            else:
+                split = pallas_split.update_pre_rows(split_in, flat)
             img = pallas_split._render_impl(flat, split, camera, light,
                                             cfg)
             return img, flat

@@ -130,17 +130,30 @@ class SplitScene:
 
     def tree_flatten(self):
         children = (self.leaf_start, self.leaf_count, self.skip, self.nodes,
-                    self.pre_rows, self.tri_rows, self.other_idx)
-        aux = (self.n_other, self.n_tri, self.m, self.m_pad)
+                    self.pre_rows, self.tri_rows, self.other_idx,
+                    self.tri_gids, self.tri_leaf_id, self.leaf_lo,
+                    self.leaf_hi, self.node_lo, self.node_hi)
+        aux = (self.n_other, self.n_tri, self.m, self.m_pad, self.n_leaf)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = cls.__new__(cls)
         (obj.leaf_start, obj.leaf_count, obj.skip, obj.nodes,
-         obj.pre_rows, obj.tri_rows, obj.other_idx) = children
-        obj.n_other, obj.n_tri, obj.m, obj.m_pad = aux
+         obj.pre_rows, obj.tri_rows, obj.other_idx,
+         obj.tri_gids, obj.tri_leaf_id, obj.leaf_lo,
+         obj.leaf_hi, obj.node_lo, obj.node_hi) = children
+        obj.n_other, obj.n_tri, obj.m, obj.m_pad, obj.n_leaf = aux
         return obj
+
+    def replace_leaves(self, **kw) -> "SplitScene":
+        """Functional update of named pytree leaves."""
+        children, aux = self.tree_flatten()
+        names = ("leaf_start", "leaf_count", "skip", "nodes", "pre_rows",
+                 "tri_rows", "other_idx", "tri_gids", "tri_leaf_id",
+                 "leaf_lo", "leaf_hi", "node_lo", "node_hi")
+        children = [kw.get(n, c) for n, c in zip(names, children)]
+        return SplitScene.tree_unflatten(aux, tuple(children))
 
     def __init__(self, scene: FlatScene, ref_bvh: LinearBVH,
                  tri_max_depth: int | None = None):
@@ -236,6 +249,38 @@ class SplitScene:
         pre = np.pad(pre, ((0, pre_pad - pre.shape[0]), (0, 0)))
         self.pre_rows = jnp.asarray(pre)
         self.other_idx = jnp.asarray(other_ids)
+
+        # --- static refit metadata (device tri refresh for animations) ---
+        # Topology (leaf assignment, skip pointers, perm) stays fixed;
+        # update_tri_rows refreshes rows + node boxes on device. Each
+        # node's leaves are the leaf nodes in its DFS span [n, skip[n]);
+        # perm ranges of a subtree are contiguous by construction.
+        starts = np.asarray(lin.leaf_start)
+        counts = np.asarray(lin.leaf_count)
+        skips = np.asarray(lin.skip)
+        leaf_nodes = np.nonzero(counts > 0)[0]
+        self.n_leaf = int(leaf_nodes.shape[0])
+        leaf_of_perm = np.zeros(max(self.n_tri, 1), np.int32)
+        for li, nd in enumerate(leaf_nodes):
+            leaf_of_perm[starts[nd]:starts[nd] + counts[nd]] = li
+        node_lo = np.zeros(self.m_pad, np.int32)
+        node_hi = np.zeros(self.m_pad, np.int32)
+        for nd in range(self.m):
+            in_span = leaf_nodes[(leaf_nodes >= nd) & (leaf_nodes
+                                                       < skips[nd])]
+            if in_span.size:
+                node_lo[nd] = starts[in_span[0]]
+                node_hi[nd] = starts[in_span[-1]] + counts[in_span[-1]]
+        self.tri_gids = jnp.asarray(
+            gids if self.n_tri else np.zeros(1, np.int32))
+        self.tri_leaf_id = jnp.asarray(leaf_of_perm)
+        self.leaf_lo = jnp.asarray(starts[leaf_nodes].astype(np.int32)
+                                   if self.n_leaf else np.zeros(1, np.int32))
+        self.leaf_hi = jnp.asarray(
+            (starts[leaf_nodes] + counts[leaf_nodes]).astype(np.int32)
+            if self.n_leaf else np.ones(1, np.int32))
+        self.node_lo = jnp.asarray(node_lo)
+        self.node_hi = jnp.asarray(node_hi)
 
     def device_args(self):
         return (self.leaf_start, self.leaf_count, self.skip, self.nodes,
@@ -1077,10 +1122,85 @@ def update_pre_rows(split: SplitScene, scene: FlatScene) -> SplitScene:
     pad = split.pre_rows.shape[0] - split.n_other
     if pad:
         new = jnp.pad(new, ((0, pad), (0, 0)))
-    children, aux = split.tree_flatten()
-    children = list(children)
-    children[4] = new
-    return SplitScene.tree_unflatten(aux, tuple(children))
+    return split.replace_leaves(pre_rows=new)
+
+
+def update_tri_rows(split: SplitScene, scene: FlatScene) -> SplitScene:
+    """Device-side per-frame refresh of the TRIANGLE side: re-pack
+    tri_rows from the current scene (same static perm/leaf order) and
+    REFIT the triangle BVH node boxes bottom-up — the device analogue of
+    the reference's updateBVH grow-refit (src/main.cpp:1068-1077), for
+    animations that move triangles (updateWheelAnimations,
+    main.cpp:1084-1109). Topology is static; boxes stay exact unions of
+    their leaves' current AABBs, so traversal remains exact (any
+    containing tri tree is — see module docstring). Pure jnp: call inside
+    jit once per frame.
+
+    Preserves the stale-plane quirk: plane_normal/plane_d columns are
+    whatever the scene carries (rotate_wheels leaves them stale by
+    default, exactly like serializeShape re-uploading the old plane)."""
+    if split.n_tri == 0:
+        return split
+    gids = split.tri_gids
+    p1 = jnp.take(scene.tri_p1, gids, axis=0)
+    p2 = jnp.take(scene.tri_p2, gids, axis=0)
+    p3 = jnp.take(scene.tri_p3, gids, axis=0)
+    n = jnp.take(scene.plane_normal, gids, axis=0)
+    pd = jnp.take(scene.plane_d, gids, axis=0)
+    e1 = p2 - p1
+    e2 = p3 - p1
+    d00 = jnp.sum(e1 * e1, -1)
+    d01 = jnp.sum(e1 * e2, -1)
+    d11 = jnp.sum(e2 * e2, -1)
+    denom = d00 * d11 - d01 * d01
+    z = denom == 0
+    safe = jnp.where(z, 1.0, denom)
+    tri = jnp.concatenate([
+        n, pd[:, None],
+        e1, e2, p1,
+        jnp.sum(p1 * e1, -1)[:, None],
+        jnp.sum(p1 * e2, -1)[:, None],
+        jnp.where(z, 0.0, d11 / safe)[:, None],
+        jnp.where(z, 0.0, d01 / safe)[:, None],
+        jnp.where(z, 0.0, d00 / safe)[:, None],
+        gids.astype(jnp.float32)[:, None],
+        jnp.take(scene.mat_color, gids, axis=0),
+        jnp.take(scene.mat_ambient, gids)[:, None],
+        jnp.take(scene.mat_diffuse, gids)[:, None],
+        jnp.take(scene.mat_specular, gids)[:, None],
+        jnp.take(scene.mat_fresnel, gids)[:, None],
+        jnp.take(scene.mat_shininess, gids)[:, None],
+    ], axis=1)
+    pad = split.tri_rows.shape[0] - split.n_tri
+    if pad:
+        tri = jnp.pad(tri, ((0, pad), (0, 0)))
+
+    # refit: leaf boxes by segment reduce over perm order, node boxes by
+    # (small, static) leaf-containment masks
+    tmin = jnp.minimum(jnp.minimum(p1, p2), p3)
+    tmax = jnp.maximum(jnp.maximum(p1, p2), p3)
+    lmin = jax.ops.segment_min(tmin, split.tri_leaf_id,
+                               num_segments=split.n_leaf)
+    lmax = jax.ops.segment_max(tmax, split.tri_leaf_id,
+                               num_segments=split.n_leaf)
+    contained = ((split.leaf_lo[None, :] >= split.node_lo[:, None])
+                 & (split.leaf_hi[None, :] <= split.node_hi[:, None])
+                 & (split.node_hi[:, None] > split.node_lo[:, None]))
+    c3 = contained[:, :, None]
+    nmin = jnp.min(jnp.where(c3, lmin[None], INF), axis=1)
+    nmax = jnp.max(jnp.where(c3, lmax[None], -INF), axis=1)
+    nonempty = (split.node_hi > split.node_lo)[:, None]
+    nmin = jnp.where(nonempty, nmin, 0.0)
+    nmax = jnp.where(nonempty, nmax, 0.0)
+    nodes = jnp.concatenate(
+        [nmin, nmax, jnp.zeros((split.m_pad, 2), jnp.float32)], axis=1)
+    return split.replace_leaves(tri_rows=tri, nodes=nodes)
+
+
+def update_dynamic(split: SplitScene, scene: FlatScene) -> SplitScene:
+    """Full device-side refresh for arbitrary animations: pre-pass rows
+    (moved non-triangles) + triangle rows with BVH refit."""
+    return update_tri_rows(update_pre_rows(split, scene), scene)
 
 
 def prepare(scene: FlatScene, ref_bvh: LinearBVH,

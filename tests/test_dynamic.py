@@ -69,10 +69,55 @@ def test_animated_split_matches_refit_oracle():
         assert np.median(d) <= 1e-6
 
 
-def test_split_rejects_wheel_animation():
+def test_wheel_animation_split_matches_host_prepare():
+    """Wheel (triangle-moving) animation through the production split
+    kernel: device tri-row refresh + BVH refit (update_tri_rows) must
+    match a fresh HOST SplitScene prepare of the same animated geometry.
+    The host path rebuilds a new tri tree; the device path refits the
+    frame-0 topology — both are exact (any containing tri tree is), so
+    images agree up to FMA-rounding silhouette ties."""
+    from raytracer_tpu.accel import build_bvh, linearize
+    from raytracer_tpu.anim.animation import rotate_wheels
+    from raytracer_tpu.render import pallas_split
     from raytracer_tpu.scenes import generate_scene2
+
     sc2 = generate_scene2()
-    if not sc2.wheels:
-        pytest.skip("scene 2 has no wheel metadata")
-    with pytest.raises(ValueError):
-        make_frame_fn(sc2, CFG, renderer="split")
+    assert sc2.wheels, "scene 2 must carry wheel metadata"
+    # subset the scene to keep interpret-mode cost down, with whole wheels
+    import numpy as _np
+    st = _np.asarray(sc2.flat.shape_type)
+    wheel_ids = sorted({int(i) for w in sc2.wheels[:2]
+                        for i in _np.asarray(w["indices"])})
+    keep = _np.concatenate([_np.flatnonzero(st != 3)[::4],
+                            _np.asarray(wheel_ids, _np.int64)])
+    keep = _np.sort(_np.unique(keep))
+    remap = {int(g): i for i, g in enumerate(keep)}
+    flat = sc2.flat.take(keep)
+    wheels = []
+    for w in sc2.wheels[:2]:
+        wheels.append(dict(w, indices=[remap[int(i)]
+                                       for i in _np.asarray(w["indices"])]))
+
+    class Meta:
+        bounce_params = ()
+    meta = Meta()
+    meta.wheels = wheels
+    meta.flat = flat
+    meta.bvh_max_depth = 8
+
+    frame = make_frame_fn(meta, CFG, renderer="split")
+    dt = 1 / 30
+    cur = flat
+    host = flat
+    for k in range(3):
+        img_dev, cur = frame(cur, sc2.camera, sc2.light, k * dt, dt)
+    for k in range(3):
+        host = rotate_wheels(host, wheels, dt)
+    lin_h = linearize(build_bvh(host, 8))
+    oracle = pallas_split.render(host, lin_h, sc2.camera, sc2.light, CFG)
+    d = np.abs(np.asarray(img_dev) - np.asarray(oracle)).max(axis=-1)
+    assert (d > 1e-4).mean() < 0.005, (d.max(), (d > 1e-4).sum())
+    assert np.median(d) <= 1e-6
+    # triangles really moved across frames
+    assert np.abs(np.asarray(cur.tri_p1) - np.asarray(flat.tri_p1)).max() \
+        > 1e-3
