@@ -33,13 +33,34 @@ def test_wavefront_matches_box_oracle(scene2):
     np.testing.assert_allclose(img_w, img_o, atol=2e-5)
 
 
-@pytest.mark.parametrize("kw", [{}, {"use_mt": True}])
-def test_split_kernel_matches_wavefront(scene2, kw):
+def test_split_kernel_matches_wavefront(scene2):
+    """Full 4122-shape scene through the production kernel. One bounce:
+    interpret-mode cost is per-wave, and traversal/pre-pass coverage at
+    this shape count is identical per wave (multi-bounce parity is pinned
+    on scene 1 and the subset below)."""
     sc, lin = scene2
-    cfg = CFG.replace(**kw)
+    cfg = CFG.replace(max_bounces=1)
     img_w = np.asarray(wavefront.render(sc.flat, lin, sc.camera, sc.light,
                                         cfg))
     img_s = np.asarray(pallas_split.render(sc.flat, lin, sc.camera,
+                                           sc.light, cfg))
+    np.testing.assert_allclose(img_s, img_w, atol=1e-4)
+
+
+def test_split_kernel_mt_matches_wavefront_subset(scene2):
+    """Moller-Trumbore in-kernel triangle test on scene-2 geometry: a
+    1-in-4 / 1-in-8 subset keeps every type interaction at ~10x less
+    interpret cost than the full scene."""
+    sc, _ = scene2
+    st = np.asarray(sc.flat.shape_type)
+    keep = np.sort(np.concatenate([np.flatnonzero(st != 3)[::4],
+                                   np.flatnonzero(st == 3)[::8]]))
+    flat = sc.flat.take(keep)
+    lin = linearize(build_bvh(flat, 10))
+    cfg = CFG.replace(use_mt=True)
+    img_w = np.asarray(wavefront.render(flat, lin, sc.camera, sc.light,
+                                        cfg))
+    img_s = np.asarray(pallas_split.render(flat, lin, sc.camera,
                                            sc.light, cfg))
     np.testing.assert_allclose(img_s, img_w, atol=1e-4)
 
