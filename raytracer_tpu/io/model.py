@@ -16,19 +16,27 @@ import numpy as np
 
 from raytracer_tpu.core.scene import SceneBuilder
 from raytracer_tpu.core.types import Material
-from raytracer_tpu.io.obj import load_obj
+from raytracer_tpu.io.obj import load_obj, load_obj_full
 from raytracer_tpu.scenes.meshgen import mesh_center
 
 
 @dataclasses.dataclass
 class Mesh:
     """Triangles in mesh-local coordinates + a placement origin
-    (Mesh::origin, assigned by callers as in generateScene1/2)."""
+    (Mesh::origin, assigned by callers as in generateScene1/2). Vertex
+    attributes beyond positions (normals/UVs/tangents/bitangents — what
+    the reference's processMesh extracts, model.hpp:86-168) are carried
+    when the model was loaded with attributes; the render path ignores
+    them, exactly as the reference's does."""
 
     name: str
     triangles: np.ndarray                     # (T, 3, 3) f32, local coords
     origin: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(3, np.float32))
+    normals: Optional[np.ndarray] = None      # (T, 3, 3) f32 unit
+    uvs: Optional[np.ndarray] = None          # (T, 3, 2) f32
+    tangents: Optional[np.ndarray] = None     # (T, 3, 3) f32
+    bitangents: Optional[np.ndarray] = None   # (T, 3, 3) f32
 
     @property
     def num_triangles(self) -> int:
@@ -57,9 +65,21 @@ class Mesh:
 
 class Model:
     """Model(path): all meshes of an OBJ file, in file order
-    (model.hpp:49-84)."""
+    (model.hpp:49-84). With ``attributes=True`` each mesh also carries
+    normals/UVs/tangents/bitangents, the reference's full processMesh
+    extraction (model.hpp:86-168 under aiProcess_GenSmoothNormals |
+    FlipUVs | CalcTangentSpace)."""
 
-    def __init__(self, path: str, use_native: bool = True):
+    def __init__(self, path: str, use_native: bool = True,
+                 attributes: bool = False):
+        if attributes:
+            full = load_obj_full(path)
+            self.meshes = [Mesh(name=k, triangles=m.positions,
+                                normals=m.normals, uvs=m.uvs,
+                                tangents=m.tangents,
+                                bitangents=m.bitangents)
+                           for k, m in full.items()]
+            return
         meshes: Dict[str, np.ndarray] = None
         if use_native:
             try:
