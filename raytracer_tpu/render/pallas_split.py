@@ -51,6 +51,12 @@ USE_OCCLUSION = False
 # see note in _render_impl.
 USE_KERNEL_ATTRS = False
 
+# Resolve shading attributes in a separate post-traversal Pallas kernel
+# (_resolve_kernel: loop over the DISTINCT winning shape ids per tile)
+# instead of the XLA row gather (measured 3.2ms/wave at 800x600 on v5e —
+# half the frame across 3 waves).
+USE_RESOLVE_KERNEL = True
+
 # Component-SoA pipeline (whitted_soa.trace_c + component-native kernel
 # boundary): avoids every (R,3) lane-padded tensor in the wave loop.
 USE_SOA_PIPELINE = False
@@ -856,6 +862,110 @@ def _split_kernel_attrs(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
                 attr_refs=attr_refs, **kw)
 
 
+def _resolve_kernel(tab_ref, rays_ref, nx_ref, ny_ref, nz_ref,
+                    cr_ref, cg_ref, cb_ref, ka_ref, kd_ref, ks_ref,
+                    kf_ref, sh_ref):
+    """Post-traversal shading-attribute resolve: replaces the XLA-side
+    ``jnp.take(attr_tab, sid)`` gather (measured ~3.2ms/wave at 800x600 on
+    v5e — half the frame across 3 waves) with an on-device loop over the
+    DISTINCT winning shape ids of the tile. Rays within a tile hit few
+    distinct shapes, so the loop runs ~5-30 iterations of one scalar row
+    load + masked accumulate, instead of a 2048-lane hardware gather.
+
+    Mosaic-safe by construction (see memory/mosaic-kernel-limits):
+    dynamic-SUBLANE static-lane scalar loads from the row-major (N, 16)
+    table; masks carried/blended as f32 arithmetic (no scalar-pred
+    selects); attrs accumulated into OUTPUT REFS under disjoint masks
+    (no wide vector carries — the round-1 attrs-in-traversal variant
+    carried 13 vectors and wedged the remote compile).
+
+    rays rows: [gid, px, py, pz] (gid: float shape id, -1 on miss —
+    resolved as row 0 exactly like the XLA path's clamped take).
+    tab columns (whitted._attr_table): n(3), color(3), ka, kd, ks, kf,
+    shininess, center(3), is_sphere."""
+    gid = jnp.maximum(rays_ref[0, 0], 0.0)
+    px = rays_ref[1, 0]
+    py = rays_ref[2, 0]
+    pz = rays_ref[3, 0]
+
+    outs = (nx_ref, ny_ref, nz_ref, cr_ref, cg_ref, cb_ref,
+            ka_ref, kd_ref, ks_ref, kf_ref, sh_ref)
+    for ref in outs:
+        ref[0] = jnp.zeros_like(gid)
+
+    def cond(state):
+        return jnp.any(state > 0.0)
+
+    def body(unres):
+        s = jnp.min(jnp.where(unres > 0.0, gid, 3.4e38))
+        si = s.astype(jnp.int32)
+        mf = ((gid == s).astype(jnp.float32)) * unres
+        # sphere normal from the hit point, plane-family from the table;
+        # scalar-typed blend (no scalar-pred select)
+        is_s = tab_ref[si, 14]
+        rx = px - tab_ref[si, 11]
+        ry = py - tab_ref[si, 12]
+        rz = pz - tab_ref[si, 13]
+        inv = jax.lax.rsqrt(rx * rx + ry * ry + rz * rz + 1e-30)
+        nx = is_s * (rx * inv) + (1.0 - is_s) * tab_ref[si, 0]
+        ny = is_s * (ry * inv) + (1.0 - is_s) * tab_ref[si, 1]
+        nz = is_s * (rz * inv) + (1.0 - is_s) * tab_ref[si, 2]
+        vals = (nx, ny, nz, tab_ref[si, 3], tab_ref[si, 4], tab_ref[si, 5],
+                tab_ref[si, 6], tab_ref[si, 7], tab_ref[si, 8],
+                tab_ref[si, 9], tab_ref[si, 10])
+        for ref, v in zip(outs, vals):
+            ref[0] = ref[0] + mf * v     # masks disjoint across iterations
+        return unres - mf
+
+    jax.lax.while_loop(cond, body, jnp.ones_like(gid))
+
+
+def make_attr_resolver(cfg: RenderConfig):
+    """resolve(attr_tab, gid, p) -> (n, color, ka, kd, ks, kf, shininess):
+    the kernel-side replacement for whitted.trace's single-row gather.
+    attr_tab: (N, 16) from whitted._attr_table; gid: (R,) float shape id
+    (-1 on miss); p: (R, 3) hit points. R must already be tile-blocked (it is
+    — the caller blocks rays once per frame)."""
+    interpret = _auto_interpret(cfg)
+    th, tw = cfg.tile_h, cfg.tile_w
+
+    @jax.jit
+    def resolve(attr_tab, gid, p):
+        r = gid.shape[0]
+        tile = th * tw
+        pad = (-r) % tile
+        comps = [gid, p[:, 0], p[:, 1], p[:, 2]]
+        if pad:
+            comps = [jnp.pad(c, ((0, pad),), constant_values=-1.0)
+                     for c in comps]
+        g = comps[0].shape[0] // tile
+        rays = jnp.stack(comps).reshape(4, g, th, tw)
+        out_specs = [pl.BlockSpec((1, th, tw), lambda i: (i, 0, 0))
+                     for _ in range(11)]
+        out_shape = [jax.ShapeDtypeStruct((g, th, tw), jnp.float32)
+                     for _ in range(11)]
+        outs = pl.pallas_call(
+            _resolve_kernel,
+            grid=(g,),
+            in_specs=[
+                pl.BlockSpec(attr_tab.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, 1, th, tw), lambda i: (0, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(attr_tab, rays)
+        nx, ny, nz, cr, cg, cb, ka, kd, ks, kf, sh = \
+            [x.reshape(-1)[:r] for x in outs]
+        n = jnp.stack([nx, ny, nz], axis=-1)
+        color = jnp.stack([cr, cg, cb], axis=-1)
+        return n, color, ka, kd, ks, kf, sh
+
+    return resolve
+
+
 def _split_kernel_smem(leaf_start_ref, leaf_count_ref, skip_ref,
                        nodes_flat_ref, pre_flat_ref, tri_flat_ref,
                        rays_ref, t_ref, gid_ref, **kw):
@@ -1033,10 +1143,6 @@ def make_closest_hit(split: SplitScene, cfg: RenderConfig,
 def _render_impl(scene: FlatScene, split: SplitScene, camera, light,
                  cfg: RenderConfig, differentiable: bool = False):
     h, w = cfg.height, cfg.width
-    o, d = cam_ops.camera_rays(camera, w, h)
-    ys = jnp.arange(h, dtype=jnp.float32) / h
-    bg = jnp.broadcast_to(shading.background(ys)[:, None, :], (h, w, 3))
-
     closest = make_closest_hit(split, cfg)
     if differentiable:
         from raytracer_tpu.diff.kernel_vjp import make_differentiable_closest
@@ -1061,6 +1167,13 @@ def _render_impl(scene: FlatScene, split: SplitScene, camera, light,
         x = x.reshape(hp // bh, bh, wp // bw, bw, 3)
         return x.transpose(0, 2, 1, 3, 4).reshape(-1, 3)
 
+    # Block-order ray GENERATION (emit rays directly in tile lane order,
+    # skipping these transposes) was A/B'd on chip: exactly neutral
+    # (61.6 vs 61.4 FPS) and not bit-identical (FMA reassociation flips a
+    # silhouette pixel) — rejected.
+    o, d = cam_ops.camera_rays(camera, w, h)
+    ys = jnp.arange(h, dtype=jnp.float32) / h
+    bg = jnp.broadcast_to(shading.background(ys)[:, None, :], (h, w, 3))
     o_b = to_blocks(o, fill=whitted.PARK_ORIGIN)
     d_b = to_blocks(d, fill=whitted._PARK_DIR)
     bg_b = to_blocks(bg)
@@ -1075,8 +1188,12 @@ def _render_impl(scene: FlatScene, split: SplitScene, camera, light,
         occl = closest.occlusion if USE_OCCLUSION else None
         fused = getattr(closest, "fused_shadow", None) \
             if USE_FUSED_SHADOW and cfg.enable_shadows else None
+        resolve = make_attr_resolver(cfg) \
+            if USE_RESOLVE_KERNEL and not differentiable \
+            and not getattr(closest, "provides_attrs", False) else None
         colors = whitted.trace(scene, light, closest, o_b, d_b, bg_b, cfg,
-                               occlusion_fn=occl, fused_fn=fused)
+                               occlusion_fn=occl, fused_fn=fused,
+                               resolve_fn=resolve)
     colors = colors.reshape(hp // bh, wp // bw, bh, bw, 3)
     colors = colors.transpose(0, 2, 1, 3, 4).reshape(hp, wp, 3)
     return colors[:h, :w]
