@@ -81,32 +81,58 @@ def run(scene_id, renderers, width, height, bounces, iters):
 
 
 def grad_timing(scene_id, width, height, bounces, iters):
-    """Forward vs backward wall time through the differentiable oracle
-    (the BASELINE.md fwd/bwd-ratio metric)."""
+    """Forward vs backward wall time (the BASELINE.md fwd/bwd-ratio
+    metric) through BOTH differentiable paths: the pure-XLA oracle and
+    the production split kernel (stop-grad hits + re-derived t,
+    diff/kernel_vjp.py)."""
     import jax
     import jax.numpy as jnp
 
+    from raytracer_tpu.accel import build_bvh, linearize
     from raytracer_tpu.config import RenderConfig
+    from raytracer_tpu.render import pallas_split
     from raytracer_tpu.render.reference import render as render_ref
     from raytracer_tpu.scenes import generate_scene
 
     cfg = RenderConfig(width=width, height=height, max_bounces=bounces,
                        ray_chunk=width * height)
     sc = generate_scene(scene_id, aspect=width / height)
+    bvh = linearize(build_bvh(sc.flat, sc.bvh_max_depth))
+    split = pallas_split.prepare(sc.flat, bvh)
+    cfg_k = cfg.replace(use_bvh=True, tile_h=16, tile_w=128)
     target = render_ref(sc.flat, sc.camera, sc.light, cfg)
 
-    def loss(center):
+    def loss_oracle(center):
         s = sc.flat.replace(sphere_center=center)
         img = render_ref(s, sc.camera, sc.light, cfg)
         return jnp.mean((img - target) ** 2)
 
-    fwd = jax.jit(loss)
-    bwd = jax.jit(jax.value_and_grad(loss))
+    def loss_kernel(center):
+        s = sc.flat.replace(sphere_center=center)
+        img = pallas_split.render(s, bvh, sc.camera, sc.light, cfg_k,
+                                  split=split, differentiable=True)
+        return jnp.mean((img - target) ** 2)
+
+    def pipelined_s(fn, n=10):
+        """Per-call time over a dispatched stream (block once): excludes
+        the fixed per-sync host/tunnel round-trip that would otherwise
+        dominate small configs and flatten the bwd/fwd ratio."""
+        jax.block_until_ready(fn())
+        t0 = time.perf_counter()
+        outs = [fn() for _ in range(n)]
+        jax.block_until_ready(outs)
+        return (time.perf_counter() - t0) / n
+
+    out = {}
     x = sc.flat.sphere_center
-    f = bench_one(lambda: fwd(x), iters=iters)
-    b = bench_one(lambda: bwd(x), iters=iters)
-    return {"forward_s": f["min_s"], "value_and_grad_s": b["min_s"],
-            "bwd_over_fwd": b["min_s"] / f["min_s"]}
+    for name, loss in (("oracle", loss_oracle), ("kernel", loss_kernel)):
+        fwd = jax.jit(loss)
+        bwd = jax.jit(jax.value_and_grad(loss))
+        f = pipelined_s(lambda: fwd(x))
+        b = pipelined_s(lambda: bwd(x))
+        out[name] = {"forward_s": f, "value_and_grad_s": b,
+                     "bwd_over_fwd": b / f}
+    return out
 
 
 def main():
