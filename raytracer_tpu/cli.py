@@ -92,9 +92,6 @@ def _render_frame(cfg, sc, flat, bvh, renderer: str, camera=None):
     if renderer == "pallas-split":
         from raytracer_tpu.render import pallas_split
         return pallas_split.render(flat, bvh, cam, sc.light, cfg)
-    if renderer == "pallas-mega":
-        from raytracer_tpu.render import pallas_mega
-        return pallas_mega.render(flat, bvh, cam, sc.light, cfg)
     from raytracer_tpu.render.reference import render
     return render(flat, cam, sc.light, cfg)
 
@@ -273,8 +270,7 @@ def main(argv=None):
         sp.add_argument("--ray-chunk", type=int, default=8192)
         sp.add_argument("--renderer", default="wavefront",
                         choices=["wavefront", "reference", "cpu", "pallas",
-                                 "pallas-bvh", "pallas-split",
-                                 "pallas-mega"])
+                                 "pallas-bvh", "pallas-split"])
         # live-editor equivalents (ImGui panel, main.cpp:384-429)
         sp.add_argument("--material", action="append", metavar="IDX:K=V",
                         help="edit material, e.g. 0:color=1,0,0 "

@@ -9,5 +9,4 @@ __all__ = ["shading", "render_reference", "render_cpu_style"]
 #   raytracer_tpu.render.pallas_kernel — brute-force TPU megakernel
 #   raytracer_tpu.render.pallas_bvh    — packet-traversal kernel
 #   raytracer_tpu.render.pallas_split  — split-phase kernel (production)
-#   raytracer_tpu.render.pallas_mega   — full-Whitted single-kernel experiment
 #   raytracer_tpu.render.dynamic       — animate+rebuild+render in one jit

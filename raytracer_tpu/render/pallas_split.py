@@ -57,14 +57,18 @@ USE_KERNEL_ATTRS = False
 # half the frame across 3 waves).
 USE_RESOLVE_KERNEL = True
 
-# Component-SoA pipeline (whitted_soa.trace_c + component-native kernel
-# boundary): avoids every (R,3) lane-padded tensor in the wave loop.
-USE_SOA_PIPELINE = False
-
-# Cond-split traversal state machine (_cond_kernel): node steps and
-# triangle tests as ALTERNATIVE per-iteration work gated by pl.when,
-# instead of the flat machine that pays both every iteration.
-USE_COND_STEP = False
+# Pruned round-2 (VERDICT item 9) after on-chip measurements:
+# - component-SoA pipeline (USE_SOA_PIPELINE/whitted_soa.py): SLOWER
+#   (13.0 vs 16.3 FPS) — XLA lays out (R, 3) fine.
+# - cond-split state machine (USE_COND_STEP/_cond_kernel): exactly
+#   neutral — the loop is iteration-latency bound, so halving the
+#   per-iteration vector work changes nothing.
+# - SMEM-tables kernel (_split_kernel_smem): 1-ulp correct in interpret
+#   mode but the v5e remote Mosaic toolchain compiles it pathologically
+#   slowly (>15 min), which also wedges the SHARED compile service —
+#   disqualified for production and too risky to keep re-testing.
+# - full-Whitted megakernel (pallas_mega.py): exact but 265 ms vs 59 ms —
+#   the 12-vector attr carry makes each traversal iteration too fat.
 
 # Triangle tests per traversal iteration. The while loop is ITERATION-
 # latency bound (A/B: halving per-iteration vector work via USE_COND_STEP
@@ -361,21 +365,6 @@ def _tri_test(tri_ref, i, ox, oy, oz, dx, dy, dz, use_mt):
     u = 1.0 - v - w
     inner = inner & ~((u < 0) | (v < 0) | (w < 0))
     return t, inner
-
-
-class _FlatView:
-    """Adapter exposing flat (W*i + f) SMEM arrays with the same [i, f]
-    indexing the 2-D VMEM refs use, so one kernel body serves both."""
-
-    __slots__ = ("ref", "w")
-
-    def __init__(self, ref, w):
-        self.ref = ref
-        self.w = w
-
-    def __getitem__(self, idx):
-        i, f = idx
-        return self.ref[i * self.w + f]
 
 
 # ablation flags for performance bisection (leave True in production)
@@ -740,111 +729,6 @@ def _fused_kernel(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
     sh_ref[0] = (st < limit).astype(jnp.float32)
 
 
-def _cond_kernel(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
-                 pre_ref, tri_ref, rays_ref, t_ref, gid_ref, flag_ref,
-                 *, m, n_other, use_mt):
-    """Cond-split traversal: each while iteration is EITHER a node step
-    (AABB test + descent decision, gated by pl.when) OR a triangle test —
-    not both. The flat one-work-unit machine (_split_body) pays the node
-    AABB chain AND the triangle test AND a cross-lane jnp.any reduce on
-    every iteration; splitting halves the vector work per iteration at the
-    cost of one extra iteration per visited leaf. State: (ptr, k) scalars
-    in the loop carry, k == -1 meaning "at node ptr", k >= 0 meaning
-    "testing triangle k of leaf ptr"; best-hit vectors accumulate directly
-    in the output refs; the node step passes its descend verdict through a
-    1-element SMEM scratch."""
-    ox = rays_ref[0, 0]
-    oy = rays_ref[1, 0]
-    oz = rays_ref[2, 0]
-    dx = rays_ref[3, 0]
-    dy = rays_ref[4, 0]
-    dz = rays_ref[5, 0]
-    aa = dx * dx + dy * dy + dz * dz
-    inv_dx = 1.0 / dx
-    inv_dy = 1.0 / dy
-    inv_dz = 1.0 / dz
-    shape = ox.shape
-
-    t0 = jnp.full(shape, INF, jnp.float32)
-    g0 = jnp.full(shape, -1.0, jnp.float32)
-
-    def pre_body(i, carry):
-        t_best, gid_best = carry
-        t, inner = _pre_intersect(pre_ref, i, ox, oy, oz, dx, dy, dz, aa,
-                                  inv_dx, inv_dy, inv_dz, use_mt)
-        better = inner & (t < t_best)
-        return (jnp.where(better, t, t_best),
-                jnp.where(better, pre_ref[i, G_GID], gid_best))
-
-    carry = (t0, g0)
-    if n_other:
-        carry = jax.lax.fori_loop(0, n_other, pre_body, carry,
-                                      unroll=_pre_unroll(n_other))
-    t_ref[0] = carry[0]
-    gid_ref[0] = carry[1]
-
-    def cond(state):
-        return state[0] < m
-
-    def body(state):
-        ptr, k = state
-        entering = k < 0
-
-        @pl.when(entering)
-        def _node_step():
-            b0x = nodes_ref[ptr, 0]
-            b0y = nodes_ref[ptr, 1]
-            b0z = nodes_ref[ptr, 2]
-            b1x = nodes_ref[ptr, 3]
-            b1y = nodes_ref[ptr, 4]
-            b1z = nodes_ref[ptr, 5]
-            tx0 = (b0x - ox) * inv_dx
-            tx1 = (b1x - ox) * inv_dx
-            ty0 = (b0y - oy) * inv_dy
-            ty1 = (b1y - oy) * inv_dy
-            tz0 = (b0z - oz) * inv_dz
-            tz1 = (b1z - oz) * inv_dz
-            tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                           jnp.minimum(ty0, ty1)),
-                               jnp.minimum(tz0, tz1))
-            tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                           jnp.maximum(ty0, ty1)),
-                               jnp.maximum(tz0, tz1))
-            probe = (tmax >= tmin) & (tmax > 0) & (tmin <= t_ref[0])
-            flag_ref[0] = jnp.any(probe).astype(jnp.int32)
-
-        @pl.when(jnp.logical_not(entering))
-        def _tri_step():
-            row = leaf_start_ref[ptr] + k
-            t, inner = _tri_test(tri_ref, row, ox, oy, oz, dx, dy, dz,
-                                 use_mt)
-            better = inner & (t < t_ref[0])
-            t_ref[0] = jnp.where(better, t, t_ref[0])
-            gid_ref[0] = jnp.where(better, tri_ref[row, T_GID],
-                                   gid_ref[0])
-
-        # scalar state transition (integer arithmetic; cheap on the
-        # scalar unit, no selects — Mosaic legalization)
-        cnt = leaf_count_ref[ptr]
-        sk = skip_ref[ptr]
-        ent = entering.astype(jnp.int32)
-        any_hit = flag_ref[0]                   # valid only when entering
-        is_leaf = (cnt > 0).astype(jnp.int32)
-        start_leaf = ent * any_hit * is_leaf    # node -> first triangle
-        go_deeper = ent * any_hit * (1 - is_leaf)
-        k_next = k + 1
-        more_tris = (1 - ent) * (k_next < cnt).astype(jnp.int32)
-        # priority: start_leaf -> (ptr, 0); go_deeper -> (ptr+1, -1);
-        # more_tris -> (ptr, k+1); else -> (skip, -1)
-        stay = start_leaf | more_tris
-        new_ptr = stay * ptr + (1 - stay) * (
-            go_deeper * (ptr + 1) + (1 - go_deeper) * sk)
-        new_k = start_leaf * 0 + more_tris * k_next + (1 - stay) * (-1)
-        return (new_ptr, new_k)
-
-    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(-1)))
-
-
 def _split_kernel(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
                   pre_ref, tri_ref, rays_ref, t_ref, gid_ref, **kw):
     _split_body(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
@@ -966,28 +850,8 @@ def make_attr_resolver(cfg: RenderConfig):
     return resolve
 
 
-def _split_kernel_smem(leaf_start_ref, leaf_count_ref, skip_ref,
-                       nodes_flat_ref, pre_flat_ref, tri_flat_ref,
-                       rays_ref, t_ref, gid_ref, **kw):
-    """All tables in SMEM (scalar prefetch): scalar loads come from the
-    scalar unit's own memory instead of VMEM, removing the per-iteration
-    VMEM scalar-load latency that dominates the traversal loop."""
-    _split_body(leaf_start_ref, leaf_count_ref, skip_ref,
-                _FlatView(nodes_flat_ref, 8),
-                _FlatView(pre_flat_ref, PRE_W),
-                _FlatView(tri_flat_ref, TRI_W),
-                rays_ref, t_ref, gid_ref, **kw)
-
-
-def make_closest_hit(split: SplitScene, cfg: RenderConfig,
-                     smem_tables: bool = False):
-    """closest_hit(o, d) -> (t, sid, hit) plus .occlusion(o, d, max_t).
-
-    smem_tables: keep all geometry/topology tables in SMEM (scalar-prefetch
-    flat arrays) instead of VMEM — the traversal loop is scalar-load-latency
-    bound, and SMEM is the scalar unit's own memory. Default OFF: correct
-    (1-ulp parity in interpret mode) but the v5e remote Mosaic toolchain
-    compiles this variant pathologically slowly (>15 min); revisit."""
+def make_closest_hit(split: SplitScene, cfg: RenderConfig):
+    """closest_hit(o, d) -> (t, sid, hit) plus .occlusion(o, d, max_t)."""
     interpret = _auto_interpret(cfg)
     th, tw = cfg.tile_h, cfg.tile_w
 
@@ -1014,51 +878,31 @@ def make_closest_hit(split: SplitScene, cfg: RenderConfig,
                      for _ in range(n_out)]
         out_shape = [jax.ShapeDtypeStruct((g, th, tw), jnp.float32)
                      for _ in range(n_out)]
-        scratch = []
         if fused:
             kern = functools.partial(_fused_kernel, **base_kw,
                                      shadow_eps=float(cfg.shadow_eps),
                                      unroll=TRI_UNROLL)
-        elif USE_COND_STEP and not occlusion and not emit_attrs \
-                and not smem_tables:
-            kern = functools.partial(_cond_kernel, **base_kw)
-            scratch = [pltpu.SMEM((1,), jnp.int32)]
         elif emit_attrs:
             kern = functools.partial(_split_kernel_attrs, **kw)
-        elif smem_tables:
-            kern = functools.partial(_split_kernel_smem, **kw)
         else:
             kern = functools.partial(_split_kernel, **kw)
-        if smem_tables and not emit_attrs and not fused:
-            spec = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=6,
-                grid=(g,),
-                in_specs=[ray_spec],
-                out_specs=out_specs,
-            )
-            args = (split.leaf_start, split.leaf_count, split.skip,
-                    split.nodes[:, :8].reshape(-1),
-                    split.pre_rows.reshape(-1),
-                    split.tri_rows.reshape(-1))
-        else:
-            spec = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=3,
-                grid=(g,),
-                scratch_shapes=scratch,
-                in_specs=[
-                    pl.BlockSpec(split.nodes.shape, lambda i, *_: (0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec(split.pre_rows.shape,
-                                 lambda i, *_: (0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec(split.tri_rows.shape,
-                                 lambda i, *_: (0, 0),
-                                 memory_space=pltpu.VMEM),
-                    ray_spec,
-                ],
-                out_specs=out_specs,
-            )
-            args = split.device_args()
+        spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(g,),
+            in_specs=[
+                pl.BlockSpec(split.nodes.shape, lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(split.pre_rows.shape,
+                             lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(split.tri_rows.shape,
+                             lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                ray_spec,
+            ],
+            out_specs=out_specs,
+        )
+        args = split.device_args()
         outs = pl.pallas_call(
             kern,
             grid_spec=spec,
@@ -1079,20 +923,6 @@ def make_closest_hit(split: SplitScene, cfg: RenderConfig,
         hit = t < INF
         sid = jnp.maximum(gid, 0.0).astype(jnp.int32)
         return t, sid, hit
-
-    @jax.jit
-    def closest_c(ox, oy, oz, dx, dy, dz):
-        """Component-native closest hit: no (R,3) tensors at the boundary
-        (see render/whitted_soa.py)."""
-        t, gid = run_comps([ox, oy, oz, dx, dy, dz], occlusion=False)
-        hit = t < INF
-        sid = jnp.maximum(gid, 0.0).astype(jnp.int32)
-        return t, sid, hit
-
-    @jax.jit
-    def occlusion_c(ox, oy, oz, dx, dy, dz, max_t):
-        t, _ = run_comps([ox, oy, oz, dx, dy, dz, max_t], occlusion=True)
-        return t == 0.0
 
     @jax.jit
     def fused_shadow(o, d, light_pos):
@@ -1133,8 +963,6 @@ def make_closest_hit(split: SplitScene, cfg: RenderConfig,
     closest_hit_attrs.occlusion = occlusion
     closest_hit_attrs.base = closest_hit
     closest_hit.with_attrs = closest_hit_attrs
-    closest_hit.closest_c = closest_c
-    closest_hit.occlusion_c = occlusion_c
     closest_hit.fused_shadow = fused_shadow
     return closest_hit
 
@@ -1178,22 +1006,15 @@ def _render_impl(scene: FlatScene, split: SplitScene, camera, light,
     d_b = to_blocks(d, fill=whitted._PARK_DIR)
     bg_b = to_blocks(bg)
 
-    if USE_SOA_PIPELINE and not differentiable:
-        from raytracer_tpu.render import whitted_soa
-        occl_c = closest.occlusion_c if USE_OCCLUSION else None
-        colors = whitted_soa.trace_c(scene, light, closest.closest_c,
-                                     o_b, d_b, bg_b, cfg,
-                                     occlusion_c=occl_c)
-    else:
-        occl = closest.occlusion if USE_OCCLUSION else None
-        fused = getattr(closest, "fused_shadow", None) \
-            if USE_FUSED_SHADOW and cfg.enable_shadows else None
-        resolve = make_attr_resolver(cfg) \
-            if USE_RESOLVE_KERNEL and not differentiable \
-            and not getattr(closest, "provides_attrs", False) else None
-        colors = whitted.trace(scene, light, closest, o_b, d_b, bg_b, cfg,
-                               occlusion_fn=occl, fused_fn=fused,
-                               resolve_fn=resolve)
+    occl = closest.occlusion if USE_OCCLUSION else None
+    fused = getattr(closest, "fused_shadow", None) \
+        if USE_FUSED_SHADOW and cfg.enable_shadows else None
+    resolve = make_attr_resolver(cfg) \
+        if USE_RESOLVE_KERNEL and not differentiable \
+        and not getattr(closest, "provides_attrs", False) else None
+    colors = whitted.trace(scene, light, closest, o_b, d_b, bg_b, cfg,
+                           occlusion_fn=occl, fused_fn=fused,
+                           resolve_fn=resolve)
     colors = colors.reshape(hp // bh, wp // bw, bh, bw, 3)
     colors = colors.transpose(0, 2, 1, 3, 4).reshape(hp, wp, 3)
     return colors[:h, :w]
