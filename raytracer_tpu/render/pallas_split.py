@@ -34,13 +34,13 @@ from raytracer_tpu.accel.linearize import LinearBVH, linearize, \
     shape_leaf_boxes
 from raytracer_tpu.config import RenderConfig
 from raytracer_tpu.core import camera as cam_ops
-from raytracer_tpu.core.scene import FlatScene, TRIANGLE
+from raytracer_tpu.core.scene import FlatScene, SPHERE, TRIANGLE
 from raytracer_tpu.core.types import Camera, Light
 from raytracer_tpu.geom import rowwise
 from raytracer_tpu.geom.aabb import shape_aabbs, shape_centers
 from raytracer_tpu.geom.direct import INF
 from raytracer_tpu.render import shading, whitted
-from raytracer_tpu.render.pallas_bvh import _row_intersect, _block_shape
+from raytracer_tpu.render.pallas_bvh import _block_shape
 from raytracer_tpu.render.pallas_kernel import _auto_interpret
 
 # Shadow rays via the any-hit occlusion kernel; measured slower than
@@ -143,7 +143,8 @@ class SplitScene:
                     self.pre_rows, self.tri_rows, self.other_idx,
                     self.tri_gids, self.tri_leaf_id, self.leaf_lo,
                     self.leaf_hi, self.node_lo, self.node_hi)
-        aux = (self.n_other, self.n_tri, self.m, self.m_pad, self.n_leaf)
+        aux = (self.n_other, self.n_sph, self.n_tri, self.m, self.m_pad,
+               self.n_leaf)
         return children, aux
 
     @classmethod
@@ -153,7 +154,8 @@ class SplitScene:
          obj.pre_rows, obj.tri_rows, obj.other_idx,
          obj.tri_gids, obj.tri_leaf_id, obj.leaf_lo,
          obj.leaf_hi, obj.node_lo, obj.node_hi) = children
-        obj.n_other, obj.n_tri, obj.m, obj.m_pad, obj.n_leaf = aux
+        (obj.n_other, obj.n_sph, obj.n_tri, obj.m, obj.m_pad,
+         obj.n_leaf) = aux
         return obj
 
     def replace_leaves(self, **kw) -> "SplitScene":
@@ -170,6 +172,16 @@ class SplitScene:
         st = np.asarray(scene.shape_type)
         tri_ids = np.nonzero(st == TRIANGLE)[0].astype(np.int32)
         other_ids = np.nonzero(st != TRIANGLE)[0].astype(np.int32)
+        # Pre rows grouped by type — SPHERES first, then the plane family —
+        # so the pre-pass can run one sphere-only loop and one plane/wall
+        # loop instead of evaluating every type formula per shape (the
+        # branchless union costs ~100 vector ops/shape; the split loops
+        # ~35/~45). gid order kept within each group: the pre-pass t
+        # comparison is strict, so ordering matters only on exact f32 ties.
+        sph_ids = other_ids[st[other_ids] == SPHERE]
+        pw_ids = other_ids[st[other_ids] != SPHERE]
+        other_ids = np.concatenate([sph_ids, pw_ids]).astype(np.int32)
+        self.n_sph = int(sph_ids.shape[0])
         self.n_other = int(other_ids.shape[0])
         self.n_tri = int(tri_ids.shape[0])
         if tri_max_depth is None:
@@ -297,10 +309,9 @@ class SplitScene:
                 self.pre_rows, self.tri_rows)
 
 
-def _pre_intersect(pre_ref, i, ox, oy, oz, dx, dy, dz, aa,
-                   inv_dx, inv_dy, inv_dz, use_mt):
-    """Pre-pass shape test: union intersect + reference leaf-box gate."""
-    t, inner = _row_intersect(pre_ref, i, ox, oy, oz, dx, dy, dz, aa, use_mt)
+def _leafbox_gate(pre_ref, i, ox, oy, oz, inv_dx, inv_dy, inv_dz):
+    """Reference leaf-box visibility gate of pre-pass shape i (the BVH-clip
+    quirk: a shape is only hittable inside its reference-tree leaf box)."""
     tx0 = (pre_ref[i, G_B0X] - ox) * inv_dx
     tx1 = (pre_ref[i, G_B1X] - ox) * inv_dx
     ty0 = (pre_ref[i, G_B0Y] - oy) * inv_dy
@@ -313,7 +324,60 @@ def _pre_intersect(pre_ref, i, ox, oy, oz, dx, dy, dz, aa,
     tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
                                    jnp.maximum(ty0, ty1)),
                        jnp.maximum(tz0, tz1))
-    inner = inner & (tmax >= tmin) & (tmax > 0)
+    return (tmax >= tmin) & (tmax > 0)
+
+
+def _pre_sphere(pre_ref, i, ox, oy, oz, dx, dy, dz, aa):
+    """Pre-pass test specialized to SPHERE rows (strict D>0, INNER-only —
+    gpu_shader.comp:242-262). The pre rows are grouped by type
+    (SplitScene.__init__) so this runs ~17 vector ops instead of the
+    ~100-op all-types union.
+
+    NO leaf-box gate: it is provably redundant for spheres. The gate
+    passes iff the ray's positive half-line overlaps the box; every box a
+    sphere row ever carries CONTAINS the whole sphere (reference median-
+    split leaves are unions of member AABBs, main.cpp:1111-1193; the
+    update_pre_rows animation path uses the sphere's own current AABB),
+    so any t>0 sphere hit lies inside the box and the slab interval
+    necessarily straddles it. Infinite walls/planes are the only shapes
+    the BVH-clip quirk actually clips — their loop keeps the gate."""
+    ocx = ox - pre_ref[i, 1]
+    ocy = oy - pre_ref[i, 2]
+    ocz = oz - pre_ref[i, 3]
+    r = pre_ref[i, 4]
+    bb = 2.0 * (dx * ocx + dy * ocy + dz * ocz)
+    cc = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+    disc = bb * bb - 4.0 * aa * cc
+    sq = jnp.sqrt(jnp.where(disc > 0, disc, 1.0))
+    t = (-bb - sq) / (2.0 * aa)
+    return t, (disc > 0) & (t > 0)
+
+
+def _pre_planewall(pre_ref, i, ox, oy, oz, dx, dy, dz,
+                   inv_dx, inv_dy, inv_dz):
+    """Pre-pass test specialized to the PLANE/WALL family (back-face
+    n·dir>0 convention, wall containment, degenerate-basis→infinite-plane
+    quirk — gpu_shader.comp:264-328) + leaf-box gate. Pure PLANE rows pack
+    v1/v2/s0..s3 as zeros, so the containment test degenerates to
+    ``outside == False`` and this is exactly the plane test for them."""
+    nx = pre_ref[i, 5]
+    ny = pre_ref[i, 6]
+    nz = pre_ref[i, 7]
+    d_n = dx * nx + dy * ny + dz * nz
+    o_n = ox * nx + oy * ny + oz * nz
+    t = -(pre_ref[i, 8] + o_n) / jnp.where(d_n == 0, 1.0, d_n)
+    v_pl = (d_n > 0) & (t > 0)
+    tw = jnp.where(v_pl, t, 0.0)
+    hx = ox + tw * dx
+    hy = oy + tw * dy
+    hz = oz + tw * dz
+    u = hx * pre_ref[i, 9] + hy * pre_ref[i, 10] + hz * pre_ref[i, 11] \
+        - pre_ref[i, 18]
+    v = hx * pre_ref[i, 12] + hy * pre_ref[i, 13] + hz * pre_ref[i, 14] \
+        - pre_ref[i, 19]
+    outside = (u < 0) | (u > pre_ref[i, 20]) | (v < 0) | (v > pre_ref[i, 21])
+    inner = v_pl & ((pre_ref[i, 23] > 0) | ~outside) \
+        & _leafbox_gate(pre_ref, i, ox, oy, oz, inv_dx, inv_dy, inv_dz)
     return t, inner
 
 
@@ -377,7 +441,7 @@ N_ATTRS = 11  # nx, ny, nz, cr, cg, cb, ka, kd, ks, kf, shininess
 
 def _split_body(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
                 pre_ref, tri_ref, rays_ref, t_ref, gid_ref,
-                *, m, n_other, use_mt, occlusion, attr_refs=None,
+                *, m, n_other, n_sph, use_mt, occlusion, attr_refs=None,
                 unroll=1):
     ox = rays_ref[0, 0]
     oy = rays_ref[1, 0]
@@ -399,59 +463,72 @@ def _split_body(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
     a0 = tuple(jnp.zeros(shape, jnp.float32) for _ in range(N_ATTRS)) \
         if emit else ()
 
-    def pre_attrs(i, t):
+    def pre_attrs(i, t, sphere):
         """Shading attributes of pre-pass shape i at hit t (vectors).
-        Sphere normals depend on the hit point; plane-family normals are
-        the stored plane normal. Scalar-typed blend (no scalar-pred
-        selects — Mosaic legalization)."""
-        from raytracer_tpu.core.scene import SPHERE as _S
-        typ = pre_ref[i, 0]
-        is_s = (typ == _S).astype(jnp.float32)
-        px = ox + t * dx - pre_ref[i, 1]
-        py = oy + t * dy - pre_ref[i, 2]
-        pz = oz + t * dz - pre_ref[i, 3]
-        inv = jax.lax.rsqrt(px * px + py * py + pz * pz + 1e-30)
-        nx = is_s * (px * inv) + (1.0 - is_s) * pre_ref[i, 5]
-        ny = is_s * (py * inv) + (1.0 - is_s) * pre_ref[i, 6]
-        nz = is_s * (pz * inv) + (1.0 - is_s) * pre_ref[i, 7]
+        ``sphere`` is a STATIC per-loop flag (pre rows are grouped by
+        type): sphere normals come from the hit point, plane-family
+        normals are the stored plane normal — no runtime type blend."""
+        if sphere:
+            px = ox + t * dx - pre_ref[i, 1]
+            py = oy + t * dy - pre_ref[i, 2]
+            pz = oz + t * dz - pre_ref[i, 3]
+            inv = jax.lax.rsqrt(px * px + py * py + pz * pz + 1e-30)
+            nx, ny, nz = px * inv, py * inv, pz * inv
+        else:
+            nx, ny, nz = pre_ref[i, 5], pre_ref[i, 6], pre_ref[i, 7]
         return (nx, ny, nz, pre_ref[i, G_MCR], pre_ref[i, G_MCG],
                 pre_ref[i, G_MCB], pre_ref[i, G_MKA], pre_ref[i, G_MKD],
                 pre_ref[i, G_MKS], pre_ref[i, G_MKF], pre_ref[i, G_MSH])
 
     # ---- pre-pass: non-triangle shapes, brute with leaf-box gates --------
-    def pre_body(i, carry):
-        if occlusion:
-            t_best, gid_best = carry
-            t, inner = _pre_intersect(pre_ref, i, ox, oy, oz, dx, dy, dz,
-                                      aa, inv_dx, inv_dy, inv_dz, use_mt)
-            better = inner & (t < limit) & (t_best == INF)
-            return (jnp.where(better, 0.0, t_best), gid_best)
-        t_best, gid_best = carry[0], carry[1]
-        t, inner = _pre_intersect(pre_ref, i, ox, oy, oz, dx, dy, dz, aa,
-                                  inv_dx, inv_dy, inv_dz, use_mt)
-        better = inner & (t < t_best)
-        out = (jnp.where(better, t, t_best),
-               jnp.where(better, pre_ref[i, G_GID], gid_best))
-        if emit:
-            new_attrs = pre_attrs(i, t)
-            out = out + tuple(jnp.where(better, na, a)
-                              for na, a in zip(new_attrs, carry[2:]))
-        return out
+    # Two type-specialized loops over the grouped pre rows (spheres, then
+    # the plane family): ~35/~45 vector ops per shape instead of the
+    # ~100-op branchless union of every type formula.
+    def make_pre_body(sphere):
+        def pre_body(i, carry):
+            if sphere:
+                t, inner = _pre_sphere(pre_ref, i, ox, oy, oz, dx, dy, dz,
+                                       aa)
+            else:
+                t, inner = _pre_planewall(pre_ref, i, ox, oy, oz,
+                                          dx, dy, dz,
+                                          inv_dx, inv_dy, inv_dz)
+            if occlusion:
+                t_best, gid_best = carry
+                better = inner & (t < limit) & (t_best == INF)
+                return (jnp.where(better, 0.0, t_best), gid_best)
+            t_best, gid_best = carry[0], carry[1]
+            better = inner & (t < t_best)
+            out = (jnp.where(better, t, t_best),
+                   jnp.where(better, pre_ref[i, G_GID], gid_best))
+            if emit:
+                new_attrs = pre_attrs(i, t, sphere)
+                out = out + tuple(jnp.where(better, na, a)
+                                  for na, a in zip(new_attrs, carry[2:]))
+            return out
+        return pre_body
 
+    def run_prepass(carry):
+        if n_sph:
+            carry = jax.lax.fori_loop(0, n_sph, make_pre_body(True),
+                                      carry, unroll=_pre_unroll(n_sph))
+        if n_other > n_sph:
+            carry = jax.lax.fori_loop(n_sph, n_other, make_pre_body(False),
+                                      carry,
+                                      unroll=_pre_unroll(n_other - n_sph))
+        return carry
+
+    carry = (t0, g0) if occlusion else (t0, g0) + a0
+    if n_other and RUN_PREPASS:
+        # Liveness gate: bounce waves 2/3 park most lanes (PARK_ORIGIN
+        # 2e30); an all-parked tile skips the inlined pre-pass entirely.
+        carry = jax.lax.cond(jnp.any(ox < 1e30), run_prepass,
+                             lambda c: c, carry)
     if occlusion:
-        carry = (t0, g0)
-        if n_other and RUN_PREPASS:
-            carry = jax.lax.fori_loop(0, n_other, pre_body, carry,
-                                      unroll=_pre_unroll(n_other))
-        occ_state, _ = carry
-        occluded0 = occ_state != INF
+        occluded0 = carry[0] != INF
         t_best0, gid_best0 = carry
         attrs0 = ()
     else:
-        carry = (t0, g0) + a0
-        if n_other and RUN_PREPASS:
-            carry = jax.lax.fori_loop(0, n_other, pre_body, carry,
-                                      unroll=_pre_unroll(n_other))
         t_best0, gid_best0 = carry[0], carry[1]
         attrs0 = carry[2:]
 
@@ -561,7 +638,7 @@ def _split_body(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
 
 def _closest_pass(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
                   pre_ref, tri_ref, ox, oy, oz, dx, dy, dz,
-                  *, m, n_other, use_mt, with_normals, unroll=1):
+                  *, m, n_other, n_sph, use_mt, with_normals, unroll=1):
     """One full closest-hit traversal (pre-pass + triangle packet walk) as
     a pure function of ray components, callable multiple times per kernel
     body. Mirrors _split_body's closest branch exactly (including the
@@ -578,37 +655,52 @@ def _closest_pass(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
     n0 = tuple(jnp.zeros(shape, jnp.float32) for _ in range(3)) \
         if with_normals else ()
 
-    def pre_normal(i, t):
+    def pre_normal(i, t, sphere):
         # sphere normal from the hit point, plane-family from the stored
-        # normal; scalar-typed blend (no scalar-pred selects — Mosaic)
-        from raytracer_tpu.core.scene import SPHERE as _S
-        typ = pre_ref[i, 0]
-        is_s = (typ == _S).astype(jnp.float32)
-        px = ox + t * dx - pre_ref[i, 1]
-        py = oy + t * dy - pre_ref[i, 2]
-        pz = oz + t * dz - pre_ref[i, 3]
-        inv = jax.lax.rsqrt(px * px + py * py + pz * pz + 1e-30)
-        nx = is_s * (px * inv) + (1.0 - is_s) * pre_ref[i, 5]
-        ny = is_s * (py * inv) + (1.0 - is_s) * pre_ref[i, 6]
-        nz = is_s * (pz * inv) + (1.0 - is_s) * pre_ref[i, 7]
-        return nx, ny, nz
+        # normal — static per-loop flag, no runtime type blend
+        if sphere:
+            px = ox + t * dx - pre_ref[i, 1]
+            py = oy + t * dy - pre_ref[i, 2]
+            pz = oz + t * dz - pre_ref[i, 3]
+            inv = jax.lax.rsqrt(px * px + py * py + pz * pz + 1e-30)
+            return px * inv, py * inv, pz * inv
+        return pre_ref[i, 5], pre_ref[i, 6], pre_ref[i, 7]
 
-    def pre_body(i, carry):
-        t_best, gid_best = carry[0], carry[1]
-        t, inner = _pre_intersect(pre_ref, i, ox, oy, oz, dx, dy, dz, aa,
-                                  inv_dx, inv_dy, inv_dz, use_mt)
-        better = inner & (t < t_best)
-        out = (jnp.where(better, t, t_best),
-               jnp.where(better, pre_ref[i, G_GID], gid_best))
-        if with_normals:
-            out = out + tuple(jnp.where(better, nv, c) for nv, c in
-                              zip(pre_normal(i, t), carry[2:]))
-        return out
+    def make_pre_body(sphere):
+        def pre_body(i, carry):
+            if sphere:
+                t, inner = _pre_sphere(pre_ref, i, ox, oy, oz, dx, dy, dz,
+                                       aa)
+            else:
+                t, inner = _pre_planewall(pre_ref, i, ox, oy, oz,
+                                          dx, dy, dz,
+                                          inv_dx, inv_dy, inv_dz)
+            t_best, gid_best = carry[0], carry[1]
+            better = inner & (t < t_best)
+            out = (jnp.where(better, t, t_best),
+                   jnp.where(better, pre_ref[i, G_GID], gid_best))
+            if with_normals:
+                out = out + tuple(jnp.where(better, nv, c) for nv, c in
+                                  zip(pre_normal(i, t, sphere), carry[2:]))
+            return out
+        return pre_body
+
+    def run_prepass(carry):
+        if n_sph:
+            carry = jax.lax.fori_loop(0, n_sph, make_pre_body(True),
+                                      carry, unroll=_pre_unroll(n_sph))
+        if n_other > n_sph:
+            carry = jax.lax.fori_loop(n_sph, n_other, make_pre_body(False),
+                                      carry,
+                                      unroll=_pre_unroll(n_other - n_sph))
+        return carry
 
     carry = (t0, g0) + n0
     if n_other and RUN_PREPASS:
-        carry = jax.lax.fori_loop(0, n_other, pre_body, carry,
-                                      unroll=_pre_unroll(n_other))
+        # all-parked tiles (bounce waves / all-miss shadow tiles) skip
+        # the inlined pre-pass
+        carry = jax.lax.cond(jnp.any(ox < 1e30), run_prepass,
+                             lambda c: c, carry)
     if not RUN_TRAVERSAL:
         return carry
 
@@ -678,7 +770,7 @@ def _closest_pass(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
 
 def _fused_kernel(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
                   pre_ref, tri_ref, rays_ref, t_ref, gid_ref, sh_ref,
-                  *, m, n_other, use_mt, shadow_eps, unroll=1):
+                  *, m, n_other, n_sph, use_mt, shadow_eps, unroll=1):
     """Closest hit + shadow occlusion in ONE launch. Ray rows 0-5 are the
     primary ray; rows 6-8 broadcast the light position. The shadow ray is
     derived exactly as whitted.trace does (origin p + n*shadow_eps,
@@ -697,8 +789,8 @@ def _fused_kernel(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
     t, gid, nx, ny, nz = _closest_pass(
         leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref, pre_ref,
         tri_ref, ox, oy, oz, dx, dy, dz,
-        m=m, n_other=n_other, use_mt=use_mt, with_normals=True,
-        unroll=unroll)
+        m=m, n_other=n_other, n_sph=n_sph, use_mt=use_mt,
+        with_normals=True, unroll=unroll)
 
     hit = t < INF
     ts = jnp.where(hit, t, 0.0)
@@ -721,8 +813,8 @@ def _fused_kernel(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
     st, _ = _closest_pass(
         leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref, pre_ref,
         tri_ref, sox, soy, soz, sdx, sdy, sdz,
-        m=m, n_other=n_other, use_mt=use_mt, with_normals=False,
-        unroll=unroll)
+        m=m, n_other=n_other, n_sph=n_sph, use_mt=use_mt,
+        with_normals=False, unroll=unroll)
 
     t_ref[0] = t
     gid_ref[0] = gid
@@ -868,7 +960,8 @@ def make_closest_hit(split: SplitScene, cfg: RenderConfig):
         nrow = len(comps)
         rays = jnp.stack(comps).reshape(nrow, g, th, tw)
 
-        base_kw = dict(m=split.m, n_other=split.n_other, use_mt=cfg.use_mt)
+        base_kw = dict(m=split.m, n_other=split.n_other,
+                       n_sph=split.n_sph, use_mt=cfg.use_mt)
         kw = dict(base_kw, occlusion=occlusion, unroll=TRI_UNROLL)
         ray_spec = pl.BlockSpec((nrow, 1, th, tw),
                                 lambda i, *_: (0, i, 0, 0),
