@@ -518,19 +518,7 @@ def _split_body(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
                                       unroll=_pre_unroll(n_other - n_sph))
         return carry
 
-    carry = (t0, g0) if occlusion else (t0, g0) + a0
-    if n_other and RUN_PREPASS:
-        # Liveness gate: bounce waves 2/3 park most lanes (PARK_ORIGIN
-        # 2e30); an all-parked tile skips the inlined pre-pass entirely.
-        carry = jax.lax.cond(jnp.any(ox < 1e30), run_prepass,
-                             lambda c: c, carry)
-    if occlusion:
-        occluded0 = carry[0] != INF
-        t_best0, gid_best0 = carry
-        attrs0 = ()
-    else:
-        t_best0, gid_best0 = carry[0], carry[1]
-        attrs0 = carry[2:]
+    init = (t0, g0) if occlusion else (t0, g0) + a0
 
     # ---- triangle packet traversal ---------------------------------------
     def cond(state):
@@ -616,24 +604,31 @@ def _split_body(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
             for ref, a in zip(attr_refs, attrs):
                 ref[0] = a
 
-    if not RUN_TRAVERSAL:
-        t_ref[0] = t_best0
-        gid_ref[0] = gid_best0
-        write_attrs(attrs0)
-        return
-    if occlusion:
-        t_occ = jnp.where(occluded0, 0.0, INF)
-        _, _, t_occ, _ = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), jnp.int32(0), t_occ, g0))
-        t_ref[0] = t_occ
-        gid_ref[0] = g0
-    else:
+    def run_all(carry):
+        """Pre-pass + packet traversal. Wrapped in ONE liveness cond so an
+        all-parked tile (bounce waves 2/3, all-miss shadow tiles) does ZERO
+        vector work — the ungated while loop still burned a full first
+        iteration (node-0 probe + U masked triangle tests) per launch,
+        a measured ~2ms/launch floor across the 235-tile grid."""
+        if n_other and RUN_PREPASS:
+            carry = run_prepass(carry)
+        if not RUN_TRAVERSAL:
+            return carry
+        if occlusion:
+            t_occ = jnp.where(carry[0] != INF, 0.0, INF)
+            out = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), jnp.int32(0), t_occ, carry[1]))
+            return (out[2], out[3])
         out = jax.lax.while_loop(
-            cond, body,
-            (jnp.int32(0), jnp.int32(0), t_best0, gid_best0) + attrs0)
-        t_ref[0] = out[2]
-        gid_ref[0] = out[3]
-        write_attrs(out[4:])
+            cond, body, (jnp.int32(0), jnp.int32(0)) + carry)
+        return out[2:]
+
+    # Parked-branch defaults are exactly the miss/unoccluded outputs
+    # (t=INF, gid=-1, zero attrs), so skipping is semantics-preserving.
+    res = jax.lax.cond(jnp.any(ox < 1e30), run_all, lambda c: c, init)
+    t_ref[0] = res[0]
+    gid_ref[0] = g0 if occlusion else res[1]
+    write_attrs(res[2:])
 
 
 def _closest_pass(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
@@ -695,14 +690,7 @@ def _closest_pass(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
                                       unroll=_pre_unroll(n_other - n_sph))
         return carry
 
-    carry = (t0, g0) + n0
-    if n_other and RUN_PREPASS:
-        # all-parked tiles (bounce waves / all-miss shadow tiles) skip
-        # the inlined pre-pass
-        carry = jax.lax.cond(jnp.any(ox < 1e30), run_prepass,
-                             lambda c: c, carry)
-    if not RUN_TRAVERSAL:
-        return carry
+    init = (t0, g0) + n0
 
     def cond(state):
         return state[0] < m
@@ -763,9 +751,19 @@ def _closest_pass(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
         new_k = stay * k_next
         return (new_ptr, new_k, t_best, gid_best) + nrm
 
-    out = jax.lax.while_loop(cond, body,
-                             (jnp.int32(0), jnp.int32(0)) + carry)
-    return out[2:]
+    def run_all(carry):
+        # pre-pass + packet walk under ONE liveness cond: an all-parked
+        # tile (bounce waves 2/3, all-miss shadow passes) does zero
+        # vector work — see _split_body.run_all
+        if n_other and RUN_PREPASS:
+            carry = run_prepass(carry)
+        if not RUN_TRAVERSAL:
+            return carry
+        out = jax.lax.while_loop(cond, body,
+                                 (jnp.int32(0), jnp.int32(0)) + carry)
+        return out[2:]
+
+    return jax.lax.cond(jnp.any(ox < 1e30), run_all, lambda c: c, init)
 
 
 def _fused_kernel(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
