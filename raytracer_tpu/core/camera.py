@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from raytracer_tpu.core.types import Camera, normalize
@@ -88,12 +89,14 @@ def pixel_ndc(width: int, height: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
     Returns (ndc_x, ndc_y) of shape (height, width), f32.
     """
-    xs = jnp.arange(width, dtype=jnp.float32)
-    ys = jnp.arange(height, dtype=jnp.float32)
-    ndc_x = 2.0 * xs[None, :] / width - 1.0
-    ndc_y = 1.0 - 2.0 * ys[:, None] / height
-    ndc_x = jnp.broadcast_to(ndc_x, (height, width))
-    ndc_y = jnp.broadcast_to(ndc_y, (height, width))
+    # 2D broadcasted_iota, NOT arange+broadcast: XLA:TPU lowers the 1-D
+    # arange (lane-dim iota) + broadcast pair into real data movement —
+    # 0.345 ms vs 0.015 ms for the fused 2-D iota at 800x600 on v5e.
+    # Values are bit-identical (exact small-int iota, same arithmetic).
+    xi = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1)
+    yi = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0)
+    ndc_x = 2.0 * xi / width - 1.0
+    ndc_y = 1.0 - 2.0 * yi / height
     return ndc_x, ndc_y
 
 

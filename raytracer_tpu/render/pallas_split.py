@@ -69,6 +69,26 @@ USE_RESOLVE_KERNEL = True
 #   disqualified for production and too risky to keep re-testing.
 # - full-Whitted megakernel (pallas_mega.py): exact but 265 ms vs 59 ms —
 #   the 12-vector attr carry makes each traversal iteration too fat.
+# - ANY-HIT occlusion re-test for the fused kernel's shadow leg (occluded
+#   lanes stop probing, beyond-light subtrees culled, optional whole-loop
+#   exit once every lane is occluded; bit-exact — closest_t < limit iff
+#   some hit t < limit): SLOWER on v5e scene 1 than simply re-running the
+#   closest pass, 13.77 vs 13.38 ms/frame (14.45 with the whole-loop
+#   exit, whose cross-lane any() adds serial latency every iteration).
+# - Morton-grouped sphere pre-pass gated by a conservative per-tile ray-
+#   bundle test (union AABB per group of 8/16/32 spheres, lax.cond skip).
+#   The straight-line sphere pre-pass costs ~0.18 ms/sphere/frame
+#   (measured by scaling scene 1's background-sphere count: 29/16/8/4
+#   spheres -> 13.3/12.0/9.6/8.8 ms), and forcing every gate false shows
+#   a 7.85 ms floor — but no sound predicate recovered it: an interval/
+#   slab direction test degenerates whenever a tile's direction interval
+#   straddles 0 on an axis (most tiles), and a bounding-cone test (apex
+#   sphere over live origins, mean-direction axis, max-angle aperture vs
+#   group bounding sphere) measured 13.89/13.66/13.29 ms at group size
+#   8/16/32 vs 13.29 at HEAD — the per-pass cross-lane reductions eat
+#   exactly what the skips save (scene 2: 13.48 vs 13.70 FPS, also a
+#   wash). The pre-pass cost is origin/direction-diverse bounce+shadow
+#   passes, where any whole-tile bundle is too fat to cull.
 
 # Triangle tests per traversal iteration. The while loop is ITERATION-
 # latency bound (A/B: halving per-iteration vector work via USE_COND_STEP
