@@ -329,6 +329,28 @@ class SplitScene:
                 self.pre_rows, self.tri_rows)
 
 
+# Timing probe (not a production path): when set to a host array, the
+# pre-pass reads its shape parameters as baked float immediates instead
+# of VMEM scalar loads, isolating the cost of scalar->vector broadcast
+# loads from the arithmetic. Produces a correct image only while the
+# scene matches the baked rows.
+CONST_PRE = None
+
+
+class _ConstRows:
+    def __init__(self, arr):
+        self.arr = arr
+
+    def __getitem__(self, idx):
+        return jnp.float32(float(self.arr[idx]))
+
+
+def _maybe_const(pre_ref):
+    if CONST_PRE is None or isinstance(pre_ref, _ConstRows):
+        return pre_ref
+    return _ConstRows(np.asarray(CONST_PRE))
+
+
 def _leafbox_gate(pre_ref, i, ox, oy, oz, inv_dx, inv_dy, inv_dz):
     """Reference leaf-box visibility gate of pre-pass shape i (the BVH-clip
     quirk: a shape is only hittable inside its reference-tree leaf box)."""
@@ -455,6 +477,29 @@ def _tri_test(tri_ref, i, ox, oy, oz, dx, dy, dz, use_mt):
 RUN_PREPASS = True
 RUN_TRAVERSAL = True
 
+# Tree-reduce the pre-pass min instead of folding left-to-right. The
+# fully-unrolled fold's 29 where-blends form one serial dependence chain
+# (each blend waits on the previous t_best) — with the bodies' own math
+# free to schedule in parallel, that chain IS the pre-pass latency.
+# A balanced pairwise min (left wins exact f32 ties at every level, so
+# the earliest-row-wins ordering of the fold is preserved bit-exactly)
+# is log2(n) blends deep. v5e scene 1 800x600x3: 13.37 -> 8.9 ms/frame.
+PRE_TREE_REDUCE = True
+
+
+def _reduce_candidates(cands):
+    """Balanced strict-min reduction of (t, payload...) tuples; on exact
+    f32 ties the LEFT (earlier-row) candidate wins, matching a
+    left-to-right fold with strict ``t < t_best``."""
+    while len(cands) > 1:
+        nxt = [tuple(jnp.where(b[0] < a[0], xb, xa)
+                     for xa, xb in zip(a, b))
+               for a, b in zip(cands[0::2], cands[1::2])]
+        if len(cands) & 1:
+            nxt.append(cands[-1])
+        cands = nxt
+    return cands[0]
+
 
 N_ATTRS = 11  # nx, ny, nz, cr, cg, cb, ka, kd, ks, kf, shininess
 
@@ -463,6 +508,7 @@ def _split_body(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
                 pre_ref, tri_ref, rays_ref, t_ref, gid_ref,
                 *, m, n_other, n_sph, use_mt, occlusion, attr_refs=None,
                 unroll=1):
+    pre_ref = _maybe_const(pre_ref)
     ox = rays_ref[0, 0]
     oy = rays_ref[1, 0]
     oz = rays_ref[2, 0]
@@ -528,15 +574,48 @@ def _split_body(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
             return out
         return pre_body
 
+    def prepass_tests():
+        out = []
+        for i in range(n_other):
+            sphere = i < n_sph
+            if sphere:
+                t, inner = _pre_sphere(pre_ref, i, ox, oy, oz, dx, dy, dz,
+                                       aa)
+            else:
+                t, inner = _pre_planewall(pre_ref, i, ox, oy, oz,
+                                          dx, dy, dz,
+                                          inv_dx, inv_dy, inv_dz)
+            out.append((i, sphere, t, inner))
+        return out
+
     def run_prepass(carry):
-        if n_sph:
-            carry = jax.lax.fori_loop(0, n_sph, make_pre_body(True),
-                                      carry, unroll=_pre_unroll(n_sph))
-        if n_other > n_sph:
-            carry = jax.lax.fori_loop(n_sph, n_other, make_pre_body(False),
-                                      carry,
-                                      unroll=_pre_unroll(n_other - n_sph))
-        return carry
+        if not (PRE_TREE_REDUCE and n_other <= 128):
+            if n_sph:
+                carry = jax.lax.fori_loop(0, n_sph, make_pre_body(True),
+                                          carry, unroll=_pre_unroll(n_sph))
+            if n_other > n_sph:
+                carry = jax.lax.fori_loop(n_sph, n_other,
+                                          make_pre_body(False), carry,
+                                          unroll=_pre_unroll(n_other
+                                                             - n_sph))
+            return carry
+        tests = prepass_tests()
+        if occlusion:
+            hits = [inner & (t < limit) for _, _, t, inner in tests]
+            while len(hits) > 1:
+                pairs = [a | b for a, b in zip(hits[0::2], hits[1::2])]
+                hits = pairs + ([hits[-1]] if len(hits) & 1 else [])
+            return (jnp.where(hits[0], 0.0, carry[0]), carry[1])
+        cands = []
+        for i, sphere, t, inner in tests:
+            payload = (jnp.where(inner, t, INF), pre_ref[i, G_GID])
+            if emit:
+                payload = payload + pre_attrs(i, t, sphere)
+            cands.append(payload)
+        best = _reduce_candidates(cands)
+        better = best[0] < carry[0]
+        return tuple(jnp.where(better, nb, c)
+                     for nb, c in zip(best, carry))
 
     init = (t0, g0) if occlusion else (t0, g0) + a0
 
@@ -654,6 +733,7 @@ def _split_body(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
 def _closest_pass(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
                   pre_ref, tri_ref, ox, oy, oz, dx, dy, dz,
                   *, m, n_other, n_sph, use_mt, with_normals, unroll=1):
+    pre_ref = _maybe_const(pre_ref)
     """One full closest-hit traversal (pre-pass + triangle packet walk) as
     a pure function of ray components, callable multiple times per kernel
     body. Mirrors _split_body's closest branch exactly (including the
@@ -701,14 +781,34 @@ def _closest_pass(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
         return pre_body
 
     def run_prepass(carry):
-        if n_sph:
-            carry = jax.lax.fori_loop(0, n_sph, make_pre_body(True),
-                                      carry, unroll=_pre_unroll(n_sph))
-        if n_other > n_sph:
-            carry = jax.lax.fori_loop(n_sph, n_other, make_pre_body(False),
-                                      carry,
-                                      unroll=_pre_unroll(n_other - n_sph))
-        return carry
+        if not (PRE_TREE_REDUCE and n_other <= 128):
+            if n_sph:
+                carry = jax.lax.fori_loop(0, n_sph, make_pre_body(True),
+                                          carry, unroll=_pre_unroll(n_sph))
+            if n_other > n_sph:
+                carry = jax.lax.fori_loop(n_sph, n_other,
+                                          make_pre_body(False), carry,
+                                          unroll=_pre_unroll(n_other
+                                                             - n_sph))
+            return carry
+        cands = []
+        for i in range(n_other):
+            sphere = i < n_sph
+            if sphere:
+                t, inner = _pre_sphere(pre_ref, i, ox, oy, oz, dx, dy, dz,
+                                       aa)
+            else:
+                t, inner = _pre_planewall(pre_ref, i, ox, oy, oz,
+                                          dx, dy, dz,
+                                          inv_dx, inv_dy, inv_dz)
+            payload = (jnp.where(inner, t, INF), pre_ref[i, G_GID])
+            if with_normals:
+                payload = payload + pre_normal(i, t, sphere)
+            cands.append(payload)
+        best = _reduce_candidates(cands)
+        better = best[0] < carry[0]
+        return tuple(jnp.where(better, nb, c)
+                     for nb, c in zip(best, carry))
 
     init = (t0, g0) + n0
 
@@ -837,6 +937,253 @@ def _fused_kernel(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
     t_ref[0] = t
     gid_ref[0] = gid
     sh_ref[0] = (st < limit).astype(jnp.float32)
+
+
+# Whole-frame megakernel, round-2 design (VERDICT item 2's stated lead):
+# the ENTIRE Whitted bounce loop runs in ONE pallas launch per frame.
+# Traversal carries only (t, gid, normal) — the round-1 megakernel died
+# carrying 12 attribute vectors through the walk — and materials are
+# resolved AFTER each traversal with the _resolve_kernel trick (loop over
+# the tile's distinct winning shape ids, accumulating into VMEM scratch
+# under disjoint masks; the while carries ONE f32 vector). Kills all
+# per-bounce XLA glue: ray re-blocking, phong/reflection elementwise
+# passes, and 5 of the 6 kernel launches (+ their grid sweeps).
+USE_WHOLEFRAME = True
+
+# attr-table columns consumed by the in-kernel resolve (whitted._attr_table)
+_TAB_MAT_COLS = (3, 4, 5, 6, 7, 8, 9, 10)  # color rgb, ka, kd, ks, kf, shin
+
+
+def _wholeframe_kernel(leaf_start_ref, leaf_count_ref, skip_ref,
+                       nodes_ref, pre_ref, tri_ref, tab_ref, par_ref,
+                       rays_ref, accr_ref, accg_ref, accb_ref,
+                       *scratch,
+                       m, n_other, n_sph, use_mt, bounces, shadow_eps,
+                       reflect_eps, use_fresnel, enable_shadows,
+                       unroll=1):
+    """One tile's full Whitted trace (whitted.trace, bounce-unrolled).
+    rays rows: o(3), d(3), bg(3). par (1, 8): light pos(3) + color(3).
+    scratch: 8 (th, tw) VMEM accumulators for the resolved material
+    columns. Shading math mirrors whitted.trace/shading.phong term by
+    term (gpu_shader.comp:331-361, 433-517)."""
+    ox = rays_ref[0, 0]
+    oy = rays_ref[1, 0]
+    oz = rays_ref[2, 0]
+    dx = rays_ref[3, 0]
+    dy = rays_ref[4, 0]
+    dz = rays_ref[5, 0]
+    bgr = rays_ref[6, 0]
+    bgg = rays_ref[7, 0]
+    bgb = rays_ref[8, 0]
+    lx = par_ref[0, 0]
+    ly = par_ref[0, 1]
+    lz = par_ref[0, 2]
+    lcr = par_ref[0, 3]
+    lcg = par_ref[0, 4]
+    lcb = par_ref[0, 5]
+
+    zero = jnp.zeros_like(ox)
+    one = jnp.ones_like(ox)
+    accr = accg = accb = zero
+    atr = atg = atb = one
+    alive = ox < 1e30  # primary rays are live unless padding-parked
+
+    closest = functools.partial(
+        _closest_pass, leaf_start_ref, leaf_count_ref, skip_ref,
+        nodes_ref, pre_ref, tri_ref,
+        m=m, n_other=n_other, n_sph=n_sph, use_mt=use_mt, unroll=unroll)
+
+    for _ in range(bounces):
+        t, gid, nx, ny, nz = closest(ox, oy, oz, dx, dy, dz,
+                                     with_normals=True)
+        hit = t < INF
+        miss_now = alive & ~hit
+        accr = accr + jnp.where(miss_now, atr * bgr, 0.0)
+        accg = accg + jnp.where(miss_now, atg * bgg, 0.0)
+        accb = accb + jnp.where(miss_now, atb * bgb, 0.0)
+        live = alive & hit
+
+        ts = jnp.where(hit, t, 0.0)
+        px = ox + ts * dx
+        py = oy + ts * dy
+        pz = oz + ts * dz
+
+        # shadow leg — formulas verbatim from _fused_kernel
+        ldx = lx - px
+        ldy = ly - py
+        ldz = lz - pz
+        dist = jnp.sqrt(ldx * ldx + ldy * ldy + ldz * ldz)
+        if enable_shadows:
+            inv = 1.0 / jnp.maximum(dist, 1e-30)
+            sox = jnp.where(hit, px + nx * shadow_eps, whitted.PARK_ORIGIN)
+            soy = jnp.where(hit, py + ny * shadow_eps, whitted.PARK_ORIGIN)
+            soz = jnp.where(hit, pz + nz * shadow_eps, whitted.PARK_ORIGIN)
+            sdx = jnp.where(hit, ldx * inv, whitted._PARK_DIR)
+            sdy = jnp.where(hit, ldy * inv, whitted._PARK_DIR)
+            sdz = jnp.where(hit, ldz * inv, whitted._PARK_DIR)
+            limit = jnp.where(hit, dist, 0.0)
+            st, _ = closest(sox, soy, soz, sdx, sdy, sdz,
+                            with_normals=False)
+            in_shadow = st < limit
+        else:
+            in_shadow = jnp.zeros_like(hit)
+
+        # material resolve: loop over the tile's distinct winning shape
+        # ids (see _resolve_kernel) — ONE f32 while-carry, disjoint-mask
+        # accumulation into scratch
+        for ref in scratch:
+            ref[...] = zero
+
+        def rcond(u):
+            return jnp.any(u > 0.0)
+
+        def rbody(u):
+            s = jnp.min(jnp.where(u > 0.0, gid, 3.4e38))
+            si = s.astype(jnp.int32)
+            mf = (gid == s).astype(jnp.float32) * u
+            for ref, col in zip(scratch, _TAB_MAT_COLS):
+                ref[...] = ref[...] + mf * tab_ref[si, col]
+            return u - mf
+
+        jax.lax.while_loop(rcond, rbody, hit.astype(jnp.float32))
+        mcr = scratch[0][...]
+        mcg = scratch[1][...]
+        mcb = scratch[2][...]
+        ka = scratch[3][...]
+        kd = scratch[4][...]
+        ks = scratch[5][...]
+        kf = scratch[6][...]
+        shin = scratch[7][...]
+
+        # phong (shading.phong, attenuate=True): term order preserved
+        dist_p = jnp.sqrt(jnp.maximum(ldx * ldx + ldy * ldy + ldz * ldz,
+                                      1e-30))
+        lc_r = lcr / dist_p
+        lc_g = lcg / dist_p
+        lc_b = lcb / dist_p
+        ldnx = ldx / dist_p
+        ldny = ldy / dist_p
+        ldnz = ldz / dist_p
+        diff = jnp.maximum(nx * ldnx + ny * ldny + nz * ldnz, 0.0)
+        # reflect(-light_dir, n) = -ld + 2*(ld.n)*n
+        dotln = nx * ldnx + ny * ldny + nz * ldnz
+        rdx = -ldnx + 2.0 * dotln * nx
+        rdy = -ldny + 2.0 * dotln * ny
+        rdz = -ldnz + 2.0 * dotln * nz
+        spec_cos = jnp.maximum(dx * rdx + dy * rdy + dz * rdz, 0.0)
+        spec = jnp.power(spec_cos, shin)
+        specc = jnp.where(diff > 0, ks * spec, 0.0)
+        col_r = (ka * lc_r + (kd * diff) * lc_r + specc * lc_r) * mcr
+        col_g = (ka * lc_g + (kd * diff) * lc_g + specc * lc_g) * mcg
+        col_b = (ka * lc_b + (kd * diff) * lc_b + specc * lc_b) * mcb
+        sf = jnp.float32(shading.SHADOW_FACTOR)
+        col_r = jnp.where(in_shadow, col_r * sf, col_r)
+        col_g = jnp.where(in_shadow, col_g * sf, col_g)
+        col_b = jnp.where(in_shadow, col_b * sf, col_b)
+        accr = accr + jnp.where(live, atr * col_r, 0.0)
+        accg = accg + jnp.where(live, atg * col_g, 0.0)
+        accb = accb + jnp.where(live, atb * col_b, 0.0)
+
+        # reflection (gpu_shader.comp:495-516)
+        spec_pos = ks > 0
+        dotdn = nx * dx + ny * dy + nz * dz
+        ndx = dx - 2.0 * dotdn * nx
+        ndy = dy - 2.0 * dotdn * ny
+        ndz = dz - 2.0 * dotdn * nz
+        nox = px + nx * reflect_eps
+        noy = py + ny * reflect_eps
+        noz = pz + nz * reflect_eps
+        cont = live & spec_pos
+        if use_fresnel:
+            cosr = jnp.maximum(-(ndx * nx + ndy * ny + ndz * nz), 0.0)
+            x1 = 1.0 - cosr
+            f = jnp.clip(x1 ** 5, 0.0, 0.8)
+            w = kf * f
+            natr = atr * (mcr + (1.0 - mcr) * w)
+            natg = atg * (mcg + (1.0 - mcg) * w)
+            natb = atb * (mcb + (1.0 - mcb) * w)
+            # extra term NOT attenuated (reference double-count, comp:510)
+            accr = accr + jnp.where(cont, (1.0 - w) * mcr * col_r, 0.0)
+            accg = accg + jnp.where(cont, (1.0 - w) * mcg * col_g, 0.0)
+            accb = accb + jnp.where(cont, (1.0 - w) * mcb * col_b, 0.0)
+        else:
+            natr = atr * ks
+            natg = atg * ks
+            natb = atb * ks
+        atr = jnp.where(cont, natr, atr)
+        atg = jnp.where(cont, natg, atg)
+        atb = jnp.where(cont, natb, atb)
+        ox = jnp.where(cont, nox, whitted.PARK_ORIGIN)
+        oy = jnp.where(cont, noy, whitted.PARK_ORIGIN)
+        oz = jnp.where(cont, noz, whitted.PARK_ORIGIN)
+        dx = jnp.where(cont, ndx, whitted._PARK_DIR)
+        dy = jnp.where(cont, ndy, whitted._PARK_DIR)
+        dz = jnp.where(cont, ndz, whitted._PARK_DIR)
+        alive = cont
+
+    accr_ref[0] = accr
+    accg_ref[0] = accg
+    accb_ref[0] = accb
+
+
+def _wholeframe_render(split: SplitScene, attr_tab, light: Light,
+                       o, d, bg, cfg: RenderConfig):
+    """Trace blocked rays o/d/bg (R, 3) to final colors (R, 3) in one
+    pallas launch (see _wholeframe_kernel)."""
+    interpret = _auto_interpret(cfg)
+    th, tw = cfg.tile_h, cfg.tile_w
+    r = o.shape[0]
+    tile = th * tw
+    pad = (-r) % tile
+    comps = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+             bg[:, 0], bg[:, 1], bg[:, 2]]
+    if pad:
+        fills = [2e30, 2e30, 2e30, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0]
+        comps = [jnp.pad(c, ((0, pad),), constant_values=f)
+                 for c, f in zip(comps, fills)]
+    g = comps[0].shape[0] // tile
+    rays = jnp.stack(comps).reshape(9, g, th, tw)
+    par = jnp.concatenate(
+        [light.position, light.color,
+         jnp.zeros(2, jnp.float32)]).astype(jnp.float32).reshape(1, 8)
+
+    kern = functools.partial(
+        _wholeframe_kernel, m=split.m, n_other=split.n_other,
+        n_sph=split.n_sph, use_mt=cfg.use_mt, bounces=cfg.max_bounces,
+        shadow_eps=float(cfg.shadow_eps),
+        reflect_eps=float(cfg.reflect_eps),
+        use_fresnel=cfg.use_fresnel, enable_shadows=cfg.enable_shadows,
+        unroll=TRI_UNROLL)
+    spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(split.nodes.shape, lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(split.pre_rows.shape, lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(split.tri_rows.shape, lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(attr_tab.shape, lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, 1, th, tw), lambda i, *_: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, th, tw), lambda i, *_: (i, 0, 0))
+                   for _ in range(3)],
+        scratch_shapes=[pltpu.VMEM((th, tw), jnp.float32)
+                        for _ in range(8)],
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid_spec=spec,
+        out_shape=[jax.ShapeDtypeStruct((g, th, tw), jnp.float32)
+                   for _ in range(3)],
+        interpret=interpret,
+    )(*split.device_args(), attr_tab, par, rays)
+    return jnp.stack([x.reshape(-1)[:r] for x in outs], axis=-1)
 
 
 def _split_kernel(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
@@ -1117,15 +1464,20 @@ def _render_impl(scene: FlatScene, split: SplitScene, camera, light,
     d_b = to_blocks(d, fill=whitted._PARK_DIR)
     bg_b = to_blocks(bg)
 
-    occl = closest.occlusion if USE_OCCLUSION else None
-    fused = getattr(closest, "fused_shadow", None) \
-        if USE_FUSED_SHADOW and cfg.enable_shadows else None
-    resolve = make_attr_resolver(cfg) \
-        if USE_RESOLVE_KERNEL and not differentiable \
-        and not getattr(closest, "provides_attrs", False) else None
-    colors = whitted.trace(scene, light, closest, o_b, d_b, bg_b, cfg,
-                           occlusion_fn=occl, fused_fn=fused,
-                           resolve_fn=resolve)
+    if USE_WHOLEFRAME and not differentiable and not USE_KERNEL_ATTRS \
+            and not USE_OCCLUSION:
+        colors = _wholeframe_render(split, whitted._attr_table(scene),
+                                    light, o_b, d_b, bg_b, cfg)
+    else:
+        occl = closest.occlusion if USE_OCCLUSION else None
+        fused = getattr(closest, "fused_shadow", None) \
+            if USE_FUSED_SHADOW and cfg.enable_shadows else None
+        resolve = make_attr_resolver(cfg) \
+            if USE_RESOLVE_KERNEL and not differentiable \
+            and not getattr(closest, "provides_attrs", False) else None
+        colors = whitted.trace(scene, light, closest, o_b, d_b, bg_b, cfg,
+                               occlusion_fn=occl, fused_fn=fused,
+                               resolve_fn=resolve)
     colors = colors.reshape(hp // bh, wp // bw, bh, bw, 3)
     colors = colors.transpose(0, 2, 1, 3, 4).reshape(hp, wp, 3)
     return colors[:h, :w]
