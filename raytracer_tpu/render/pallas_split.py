@@ -89,6 +89,19 @@ USE_RESOLVE_KERNEL = True
 #   exactly what the skips save (scene 2: 13.48 vs 13.70 FPS, also a
 #   wash). The pre-pass cost is origin/direction-diverse bounce+shadow
 #   passes, where any whole-tile bundle is too fat to cull.
+# - Software-pipelined walk merging for the whole-frame kernel: bounce
+#   b's shadow walk and bounce b+1's closest walk are independent (the
+#   reflected ray needs the resolved material, not the shadow bit), so
+#   both were interleaved into ONE while loop (6 walk phases -> 4, state
+#   = 6 vectors + 4 scalars, per-side completion masked at ptr == m).
+#   SLOWER: 14.47 vs 11.81 ms/frame on v5e scene 1 — walking the two
+#   sides SEPARATELY through the same masked machinery measures 11.87,
+#   so the machinery is free and the merge itself is the loss: the walk
+#   is now THROUGHPUT-bound (640 masked vector ops per U=16 iteration),
+#   and a merged loop runs max(iterA, iterB) iterations of BOTH sides'
+#   work — the unbalanced remainder is pure waste. Consistent with the
+#   U=32 sweep losing (13.1 ms): per-iteration vector work is no longer
+#   hidden under iteration latency at U=16.
 
 # Triangle tests per traversal iteration. The while loop is ITERATION-
 # latency bound (A/B: halving per-iteration vector work via USE_COND_STEP
@@ -473,6 +486,11 @@ def _tri_test(tri_ref, i, ox, oy, oz, dx, dy, dz, use_mt):
     return t, inner
 
 
+# Skip the U triangle tests on internal-node iterations via a scalar
+# lax.cond instead of running them masked (retest of the pruned round-1
+# cond-split idea now that the walk is throughput-bound).
+USE_LEAF_COND = True
+
 # ablation flags for performance bisection (leave True in production)
 RUN_PREPASS = True
 RUN_TRAVERSAL = True
@@ -819,26 +837,36 @@ def _closest_pass(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
         ptr, k, t_best, gid_best = state[0], state[1], state[2], state[3]
         nrm = state[4:]
         entering = k == 0
-        b0x = nodes_ref[ptr, 0]
-        b0y = nodes_ref[ptr, 1]
-        b0z = nodes_ref[ptr, 2]
-        b1x = nodes_ref[ptr, 3]
-        b1y = nodes_ref[ptr, 4]
-        b1z = nodes_ref[ptr, 5]
-        tx0 = (b0x - ox) * inv_dx
-        tx1 = (b1x - ox) * inv_dx
-        ty0 = (b0y - oy) * inv_dy
-        ty1 = (b1y - oy) * inv_dy
-        tz0 = (b0z - oz) * inv_dz
-        tz1 = (b1z - oz) * inv_dz
-        tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                       jnp.minimum(ty0, ty1)),
-                           jnp.minimum(tz0, tz1))
-        tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                       jnp.maximum(ty0, ty1)),
-                           jnp.maximum(tz0, tz1))
-        probe = (tmax >= tmin) & (tmax > 0) & (tmin <= t_best)
-        any_hit = jnp.any(probe)
+
+        def probe_node(_):
+            b0x = nodes_ref[ptr, 0]
+            b0y = nodes_ref[ptr, 1]
+            b0z = nodes_ref[ptr, 2]
+            b1x = nodes_ref[ptr, 3]
+            b1y = nodes_ref[ptr, 4]
+            b1z = nodes_ref[ptr, 5]
+            tx0 = (b0x - ox) * inv_dx
+            tx1 = (b1x - ox) * inv_dx
+            ty0 = (b0y - oy) * inv_dy
+            ty1 = (b1y - oy) * inv_dy
+            tz0 = (b0z - oz) * inv_dz
+            tz1 = (b1z - oz) * inv_dz
+            tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                           jnp.minimum(ty0, ty1)),
+                               jnp.minimum(tz0, tz1))
+            tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                           jnp.maximum(ty0, ty1)),
+                               jnp.maximum(tz0, tz1))
+            probe = (tmax >= tmin) & (tmax > 0) & (tmin <= t_best)
+            return jnp.any(probe)
+
+        if USE_LEAF_COND:
+            # mid-leaf iterations (k > 0) never consume the slab test:
+            # start_leaf and go_deeper are both gated on `entering`
+            any_hit = jax.lax.cond(entering, probe_node,
+                                   lambda _: jnp.bool_(False), 0)
+        else:
+            any_hit = probe_node(0)
 
         st = leaf_start_ref[ptr]
         cnt = leaf_count_ref[ptr]
@@ -847,19 +875,47 @@ def _closest_pass(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
         start_leaf = entering & any_hit & is_leaf
         in_leaf = start_leaf | jnp.logical_not(entering)
 
-        for j in range(unroll):
-            row = st + k + j
-            valid = in_leaf if j == 0 else ((k + j) < cnt) & in_leaf
-            t, inner = _tri_test(tri_ref, row, ox, oy, oz, dx, dy, dz,
-                                 use_mt)
-            better = inner & valid & (t < t_best)
-            t_best = jnp.where(better, t, t_best)
-            gid_best = jnp.where(better, tri_ref[row, T_GID], gid_best)
-            if with_normals:
-                tri_n = (tri_ref[row, T_NX], tri_ref[row, T_NY],
-                         tri_ref[row, T_NZ])
-                nrm = tuple(jnp.where(better, nv, c)
-                            for nv, c in zip(tri_n, nrm))
+        def leaf_tests(carry):
+            t_best, gid_best = carry[0], carry[1]
+            nrm = carry[2:]
+            for j in range(unroll):
+                row = st + k + j
+                valid = True if j == 0 else (k + j) < cnt
+                t, inner = _tri_test(tri_ref, row, ox, oy, oz, dx, dy, dz,
+                                     use_mt)
+                better = inner & valid & (t < t_best) if j \
+                    else inner & (t < t_best)
+                t_best = jnp.where(better, t, t_best)
+                gid_best = jnp.where(better, tri_ref[row, T_GID], gid_best)
+                if with_normals:
+                    tri_n = (tri_ref[row, T_NX], tri_ref[row, T_NY],
+                             tri_ref[row, T_NZ])
+                    nrm = tuple(jnp.where(better, nv, c)
+                                for nv, c in zip(tri_n, nrm))
+            return (t_best, gid_best) + nrm
+
+        if USE_LEAF_COND:
+            # internal-node iterations skip the U triangle tests entirely
+            # (scalar branch) instead of running them masked
+            carry = jax.lax.cond(in_leaf, leaf_tests, lambda c: c,
+                                 (t_best, gid_best) + nrm)
+            t_best, gid_best = carry[0], carry[1]
+            nrm = carry[2:]
+        else:
+            for j in range(unroll):
+                row = st + k + j
+                valid = in_leaf if j == 0 else ((k + j) < cnt) & in_leaf
+                t, inner = _tri_test(tri_ref, row, ox, oy, oz, dx, dy, dz,
+                                     use_mt)
+                better = inner & valid & (t < t_best)
+                t_best = jnp.where(better, t, t_best)
+                gid_best = jnp.where(better, tri_ref[row, T_GID],
+                                     gid_best)
+                if with_normals:
+                    tri_n = (tri_ref[row, T_NX], tri_ref[row, T_NY],
+                             tri_ref[row, T_NZ])
+                    nrm = tuple(jnp.where(better, nv, c)
+                                for nv, c in zip(tri_n, nrm))
 
         k_next = k + unroll
         leaf_done = in_leaf & (k_next >= cnt)
