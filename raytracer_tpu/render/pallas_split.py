@@ -646,33 +646,42 @@ def _split_body(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
         attrs = state[4:]
         entering = k == 0
 
-        b0x = nodes_ref[ptr, 0]
-        b0y = nodes_ref[ptr, 1]
-        b0z = nodes_ref[ptr, 2]
-        b1x = nodes_ref[ptr, 3]
-        b1y = nodes_ref[ptr, 4]
-        b1z = nodes_ref[ptr, 5]
-        tx0 = (b0x - ox) * inv_dx
-        tx1 = (b1x - ox) * inv_dx
-        ty0 = (b0y - oy) * inv_dy
-        ty1 = (b1y - oy) * inv_dy
-        tz0 = (b0z - oz) * inv_dz
-        tz1 = (b1z - oz) * inv_dz
-        tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                       jnp.minimum(ty0, ty1)),
-                           jnp.minimum(tz0, tz1))
-        tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                       jnp.maximum(ty0, ty1)),
-                           jnp.maximum(tz0, tz1))
-        if occlusion:
-            # lanes already occluded never probe; subtree can occlude only
-            # if its entry t is under the light distance
-            probe = ((tmax >= tmin) & (tmax > 0) & (t_best != 0.0)
-                     & (tmin <= limit))
+        def probe_node(_):
+            b0x = nodes_ref[ptr, 0]
+            b0y = nodes_ref[ptr, 1]
+            b0z = nodes_ref[ptr, 2]
+            b1x = nodes_ref[ptr, 3]
+            b1y = nodes_ref[ptr, 4]
+            b1z = nodes_ref[ptr, 5]
+            tx0 = (b0x - ox) * inv_dx
+            tx1 = (b1x - ox) * inv_dx
+            ty0 = (b0y - oy) * inv_dy
+            ty1 = (b1y - oy) * inv_dy
+            tz0 = (b0z - oz) * inv_dz
+            tz1 = (b1z - oz) * inv_dz
+            tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                           jnp.minimum(ty0, ty1)),
+                               jnp.minimum(tz0, tz1))
+            tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                           jnp.maximum(ty0, ty1)),
+                               jnp.maximum(tz0, tz1))
+            if occlusion:
+                # lanes already occluded never probe; subtree can occlude
+                # only if its entry t is under the light distance
+                probe = ((tmax >= tmin) & (tmax > 0) & (t_best != 0.0)
+                         & (tmin <= limit))
+            else:
+                # every triangle is contained: t-culling is always safe
+                probe = (tmax >= tmin) & (tmax > 0) & (tmin <= t_best)
+            return jnp.any(probe)
+
+        if USE_LEAF_COND:
+            # mid-leaf iterations never consume the slab test (see
+            # _closest_pass.body)
+            any_hit = jax.lax.cond(entering, probe_node,
+                                   lambda _: jnp.bool_(False), 0)
         else:
-            # every triangle is contained: t-culling is always safe
-            probe = (tmax >= tmin) & (tmax > 0) & (tmin <= t_best)
-        any_hit = jnp.any(probe)
+            any_hit = probe_node(0)
 
         st = leaf_start_ref[ptr]
         cnt = leaf_count_ref[ptr]
@@ -682,29 +691,77 @@ def _split_body(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
         start_leaf = entering & any_hit & is_leaf
         in_leaf = start_leaf | jnp.logical_not(entering)
 
-        for j in range(unroll):
-            row = st + k + j
-            valid = (k + j) < cnt if j else in_leaf  # j=0 gated by in_leaf
-            if j:
-                valid = valid & in_leaf
-            t, inner = _tri_test(tri_ref, row, ox, oy, oz, dx, dy, dz,
-                                 use_mt)
-            if occlusion:
-                hit_now = inner & valid & (t < limit)
-                t_best = jnp.where(hit_now, 0.0, t_best)
-            else:
-                better = inner & valid & (t < t_best)
-                t_best = jnp.where(better, t, t_best)
-                gid_best = jnp.where(better, tri_ref[row, T_GID], gid_best)
-                if emit:
-                    tri_attrs = (tri_ref[row, T_NX], tri_ref[row, T_NY],
-                                 tri_ref[row, T_NZ], tri_ref[row, T_MCR],
-                                 tri_ref[row, T_MCG], tri_ref[row, T_MCB],
-                                 tri_ref[row, T_MKA], tri_ref[row, T_MKD],
-                                 tri_ref[row, T_MKS], tri_ref[row, T_MKF],
-                                 tri_ref[row, T_MSH])
-                    attrs = tuple(jnp.where(better, na, a)
-                                  for na, a in zip(tri_attrs, attrs))
+        def leaf_tests(carry):
+            t_best, gid_best = carry[0], carry[1]
+            attrs = carry[2:]
+            for j in range(unroll):
+                row = st + k + j
+                valid = ((k + j) < cnt) if j else None
+                t, inner = _tri_test(tri_ref, row, ox, oy, oz, dx, dy, dz,
+                                     use_mt)
+                if occlusion:
+                    hit_now = inner & (t < limit)
+                    if j:
+                        hit_now = hit_now & valid
+                    t_best = jnp.where(hit_now, 0.0, t_best)
+                else:
+                    better = inner & (t < t_best)
+                    if j:
+                        better = better & valid
+                    t_best = jnp.where(better, t, t_best)
+                    gid_best = jnp.where(better, tri_ref[row, T_GID],
+                                         gid_best)
+                    if emit:
+                        tri_attrs = (tri_ref[row, T_NX],
+                                     tri_ref[row, T_NY],
+                                     tri_ref[row, T_NZ],
+                                     tri_ref[row, T_MCR],
+                                     tri_ref[row, T_MCG],
+                                     tri_ref[row, T_MCB],
+                                     tri_ref[row, T_MKA],
+                                     tri_ref[row, T_MKD],
+                                     tri_ref[row, T_MKS],
+                                     tri_ref[row, T_MKF],
+                                     tri_ref[row, T_MSH])
+                        attrs = tuple(jnp.where(better, na, a)
+                                      for na, a in zip(tri_attrs, attrs))
+            return (t_best, gid_best) + attrs
+
+        if USE_LEAF_COND:
+            carry = jax.lax.cond(in_leaf, leaf_tests, lambda c: c,
+                                 (t_best, gid_best) + attrs)
+            t_best, gid_best = carry[0], carry[1]
+            attrs = carry[2:]
+        else:
+            for j in range(unroll):
+                row = st + k + j
+                valid = (k + j) < cnt if j else in_leaf
+                if j:
+                    valid = valid & in_leaf
+                t, inner = _tri_test(tri_ref, row, ox, oy, oz, dx, dy, dz,
+                                     use_mt)
+                if occlusion:
+                    hit_now = inner & valid & (t < limit)
+                    t_best = jnp.where(hit_now, 0.0, t_best)
+                else:
+                    better = inner & valid & (t < t_best)
+                    t_best = jnp.where(better, t, t_best)
+                    gid_best = jnp.where(better, tri_ref[row, T_GID],
+                                         gid_best)
+                    if emit:
+                        tri_attrs = (tri_ref[row, T_NX],
+                                     tri_ref[row, T_NY],
+                                     tri_ref[row, T_NZ],
+                                     tri_ref[row, T_MCR],
+                                     tri_ref[row, T_MCG],
+                                     tri_ref[row, T_MCB],
+                                     tri_ref[row, T_MKA],
+                                     tri_ref[row, T_MKD],
+                                     tri_ref[row, T_MKS],
+                                     tri_ref[row, T_MKF],
+                                     tri_ref[row, T_MSH])
+                        attrs = tuple(jnp.where(better, na, a)
+                                      for na, a in zip(tri_attrs, attrs))
 
         k_next = k + unroll
         leaf_done = in_leaf & (k_next >= cnt)
