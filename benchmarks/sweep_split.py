@@ -48,12 +48,19 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip", type=int, default=0)
     ap.add_argument("--frames", type=int, default=20)
+    ap.add_argument("--configs", type=str, default=None,
+                    help="semicolon list 'u,leaf,th,tw;...' overriding CONFIGS")
     args = ap.parse_args()
+
+    configs = CONFIGS
+    if args.configs:
+        configs = [tuple(int(x) for x in c.split(","))
+                   for c in args.configs.split(";") if c]
 
     sc = generate_scene1()
     bvh = linearize(build_bvh(sc.flat, sc.bvh_max_depth))
 
-    for idx, (u, leaf, th, tw) in enumerate(CONFIGS):
+    for idx, (u, leaf, th, tw) in enumerate(configs):
         if idx < args.skip:
             continue
         pallas_split.TRI_UNROLL = u

@@ -109,8 +109,12 @@ USE_RESOLVE_KERNEL = True
 # shallower tree (bigger leaves, see TRI_LEAF_TARGET) cuts iteration
 # count near-linearly while the extra vector lanes ride for free.
 # v5e sweep (scene 1, 800x600x3): U=16 with ~75-triangle leaves gave
-# 47.2 FPS vs 32.4 at U=1/depth-20.
-TRI_UNROLL = 16
+# 47.2 FPS vs 32.4 at U=1/depth-20. Re-swept round 2 under the leaf-cond
+# walk (internal iterations skip the U tests entirely, so a bigger U no
+# longer taxes them): U=32 on the m=49 tree gives 103 FPS vs 98.8 at
+# U=16; U=48 (95.2), U=24 (85.5 — sublane-misaligned), leaf 64 (98.6),
+# leaf 192/256 m=25 (100.5), tiles 8x128 (83.2) / 32x128 (99.4) all lose.
+TRI_UNROLL = 32
 
 # Target leaf size of the triangle-only BVH (any tree is exact — see
 # module docstring). The default tri_max_depth is derived from this so
