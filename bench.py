@@ -174,7 +174,7 @@ def main():
     # Ray throughput: each of the 3 Whitted waves traces a closest-hit AND
     # a shadow ray per pixel (fused kernel: one launch, two traversals).
     rays_per_frame = 800 * 600 * 3 * 2
-    print(json.dumps({
+    out = {
         "metric": "scene1_800x600_fps",
         "value": round(fps, 3),
         "unit": "fps",
@@ -184,7 +184,25 @@ def main():
         "mrays_per_s": round(rays_per_frame * fps / 1e6, 1),
         "all": details,
         "device": device,
-    }))
+    }
+    # Op-count/roofline distance to speed-of-light, from the committed
+    # walk-iteration census (benchmarks/roofline.py writes ROOFLINE.json:
+    # exact packet-walk iteration counts for this exact config replayed
+    # offline, converted to VPU vector-op counts).
+    roof_path = os.path.join(REPO, "ROOFLINE.json")
+    if os.path.exists(roof_path):
+        try:
+            with open(roof_path) as f:
+                roof = json.load(f)
+            sol_ms = roof["vpu_speed_of_light_ms_per_frame"]
+            out["roofline"] = {
+                "est_vreg_ops_per_frame": roof["est_vreg_ops_per_frame"],
+                "vpu_speed_of_light_fps": roof["vpu_speed_of_light_fps"],
+                "pct_of_vpu_sol": round(100.0 * sol_ms * fps / 1e3, 1),
+            }
+        except Exception:
+            pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -122,6 +122,24 @@ TRI_UNROLL = 32
 TRI_LEAF_TARGET = 96
 
 
+def _canonical_material_ids(scene: FlatScene) -> np.ndarray:
+    """canon[g] = min gid over shapes whose material 8-tuple is bitwise
+    identical to shape g's (see the T_RID note above)."""
+    mat = np.stack([
+        np.asarray(scene.mat_color[:, 0]),
+        np.asarray(scene.mat_color[:, 1]),
+        np.asarray(scene.mat_color[:, 2]),
+        np.asarray(scene.mat_ambient), np.asarray(scene.mat_diffuse),
+        np.asarray(scene.mat_specular), np.asarray(scene.mat_fresnel),
+        np.asarray(scene.mat_shininess),
+    ], axis=1)
+    _, inv = np.unique(mat, axis=0, return_inverse=True)
+    first = np.full(inv.max() + 1 if inv.size else 1, -1, np.int64)
+    for g in range(scene.num_shapes - 1, -1, -1):
+        first[inv[g]] = g
+    return first[inv]
+
+
 def _auto_tri_depth(n_tri: int) -> int:
     import math
     if n_tri <= TRI_LEAF_TARGET:
@@ -150,14 +168,16 @@ def _pre_unroll(n_other):
 USE_FUSED_SHADOW = True
 
 # pre-pass row layout: geom pack (24) + gid + leaf box (6) + material (8)
+# + rid (canonical resolve id, see below)
 G_GID = 24
 G_B0X, G_B0Y, G_B0Z, G_B1X, G_B1Y, G_B1Z = 25, 26, 27, 28, 29, 30
 G_MCR, G_MCG, G_MCB = 31, 32, 33
 G_MKA, G_MKD, G_MKS, G_MKF, G_MSH = 34, 35, 36, 37, 38
-PRE_W = 39
+G_RID = 39
+PRE_W = 40
 
 # triangle row layout (lean): n, pd, e1, e2, p1, p1e1, p1e2, r11, r01, r00,
-# gid
+# gid, material, rid
 T_NX, T_NY, T_NZ, T_PD = 0, 1, 2, 3
 T_E1X, T_E1Y, T_E1Z = 4, 5, 6
 T_E2X, T_E2Y, T_E2Z = 7, 8, 9
@@ -166,7 +186,20 @@ T_S0, T_S1, T_R11, T_R01, T_R00 = 13, 14, 15, 16, 17
 T_GID = 18
 T_MCR, T_MCG, T_MCB = 19, 20, 21
 T_MKA, T_MKD, T_MKS, T_MKF, T_MSH = 22, 23, 24, 25, 26
-TRI_W = 27
+T_RID = 27
+TRI_W = 28
+
+# rid = the canonical resolve id: min gid over shapes with an IDENTICAL
+# material 8-tuple, computed at prepare() time. The wholeframe kernel's
+# material resolve loops over the DISTINCT winning ids per tile — on mesh
+# tiles that's up to hundreds of triangle gids while the mesh shares ~3
+# materials. Resolving tab[rid] instead of tab[gid] is bit-exact (the
+# loop reads only material columns, identical within a group) and
+# collapses the loop to <= #distinct-materials iterations. v5e A/B
+# (benchmarks/resolve_rid_ab.py): scene 2 32.9 -> 31.6 ms, scene 1
+# neutral; max_abs_diff 0.0 on both. NOTE: editing material VALUES after
+# prepare() without re-prepare() would stale the grouping — geometry-only
+# animation (the reference's only kind, main.cpp:1079-1109) is unaffected.
 
 
 @jax.tree_util.register_pytree_node_class
@@ -207,6 +240,7 @@ class SplitScene:
     def __init__(self, scene: FlatScene, ref_bvh: LinearBVH,
                  tri_max_depth: int | None = None):
         st = np.asarray(scene.shape_type)
+        canon = _canonical_material_ids(scene)
         tri_ids = np.nonzero(st == TRIANGLE)[0].astype(np.int32)
         other_ids = np.nonzero(st != TRIANGLE)[0].astype(np.int32)
         # Pre rows grouped by type — SPHERES first, then the plane family —
@@ -244,6 +278,7 @@ class SplitScene:
             pre[:, G_MKS] = np.asarray(scene.mat_specular)[other_ids]
             pre[:, G_MKF] = np.asarray(scene.mat_fresnel)[other_ids]
             pre[:, G_MSH] = np.asarray(scene.mat_shininess)[other_ids]
+            pre[:, G_RID] = canon[other_ids].astype(np.float32)
 
         # --- triangle-only BVH (pure perf choice; any tree is exact) ------
         mins, maxs = shape_aabbs(scene)
@@ -298,6 +333,7 @@ class SplitScene:
             tri[:, T_MKS] = np.asarray(scene.mat_specular)[gids]
             tri[:, T_MKF] = np.asarray(scene.mat_fresnel)[gids]
             tri[:, T_MSH] = np.asarray(scene.mat_shininess)[gids]
+            tri[:, T_RID] = canon[gids].astype(np.float32)
         # +32 guard rows: with TRI_UNROLL = U the unrolled tests may read
         # (masked-off) rows up to st + cnt - 1 + U - 1 past the last
         # triangle; zero rows never intersect and are valid-masked anyway
@@ -811,14 +847,19 @@ def _split_body(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
 
 def _closest_pass(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
                   pre_ref, tri_ref, ox, oy, oz, dx, dy, dz,
-                  *, m, n_other, n_sph, use_mt, with_normals, unroll=1):
+                  *, m, n_other, n_sph, use_mt, with_normals, unroll=1,
+                  rid=False):
     pre_ref = _maybe_const(pre_ref)
     """One full closest-hit traversal (pre-pass + triangle packet walk) as
     a pure function of ray components, callable multiple times per kernel
     body. Mirrors _split_body's closest branch exactly (including the
     TRI_UNROLL batched triangle tests); with_normals additionally carries
     the hit normal (3 extra vector carries) so the caller can derive
-    secondary rays in-register."""
+    secondary rays in-register. rid=True carries the canonical resolve id
+    (T_RID/G_RID) instead of the true gid — exact for material resolve
+    only (see the T_RID note), used by the wholeframe kernel."""
+    tcol = T_RID if rid else T_GID
+    pcol = G_RID if rid else G_GID
     aa = dx * dx + dy * dy + dz * dz
     inv_dx = 1.0 / dx
     inv_dy = 1.0 / dy
@@ -852,7 +893,7 @@ def _closest_pass(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
             t_best, gid_best = carry[0], carry[1]
             better = inner & (t < t_best)
             out = (jnp.where(better, t, t_best),
-                   jnp.where(better, pre_ref[i, G_GID], gid_best))
+                   jnp.where(better, pre_ref[i, pcol], gid_best))
             if with_normals:
                 out = out + tuple(jnp.where(better, nv, c) for nv, c in
                                   zip(pre_normal(i, t, sphere), carry[2:]))
@@ -880,7 +921,7 @@ def _closest_pass(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
                 t, inner = _pre_planewall(pre_ref, i, ox, oy, oz,
                                           dx, dy, dz,
                                           inv_dx, inv_dy, inv_dz)
-            payload = (jnp.where(inner, t, INF), pre_ref[i, G_GID])
+            payload = (jnp.where(inner, t, INF), pre_ref[i, pcol])
             if with_normals:
                 payload = payload + pre_normal(i, t, sphere)
             cands.append(payload)
@@ -947,7 +988,7 @@ def _closest_pass(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
                 better = inner & valid & (t < t_best) if j \
                     else inner & (t < t_best)
                 t_best = jnp.where(better, t, t_best)
-                gid_best = jnp.where(better, tri_ref[row, T_GID], gid_best)
+                gid_best = jnp.where(better, tri_ref[row, tcol], gid_best)
                 if with_normals:
                     tri_n = (tri_ref[row, T_NX], tri_ref[row, T_NY],
                              tri_ref[row, T_NZ])
@@ -970,7 +1011,7 @@ def _closest_pass(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
                                      use_mt)
                 better = inner & valid & (t < t_best)
                 t_best = jnp.where(better, t, t_best)
-                gid_best = jnp.where(better, tri_ref[row, T_GID],
+                gid_best = jnp.where(better, tri_ref[row, tcol],
                                      gid_best)
                 if with_normals:
                     tri_n = (tri_ref[row, T_NX], tri_ref[row, T_NY],
@@ -1108,7 +1149,8 @@ def _wholeframe_kernel(leaf_start_ref, leaf_count_ref, skip_ref,
     closest = functools.partial(
         _closest_pass, leaf_start_ref, leaf_count_ref, skip_ref,
         nodes_ref, pre_ref, tri_ref,
-        m=m, n_other=n_other, n_sph=n_sph, use_mt=use_mt, unroll=unroll)
+        m=m, n_other=n_other, n_sph=n_sph, use_mt=use_mt, unroll=unroll,
+        rid=True)  # gid only feeds the material resolve here (T_RID note)
 
     for _ in range(bounces):
         t, gid, nx, ny, nz = closest(ox, oy, oz, dx, dy, dz,
@@ -1636,6 +1678,7 @@ def update_pre_rows(split: SplitScene, scene: FlatScene) -> SplitScene:
         scene.mat_specular[idx, None],
         scene.mat_fresnel[idx, None],
         scene.mat_shininess[idx, None],
+        old[:, G_RID:G_RID + 1],
     ], axis=1)
     pad = split.pre_rows.shape[0] - split.n_other
     if pad:
@@ -1688,6 +1731,7 @@ def update_tri_rows(split: SplitScene, scene: FlatScene) -> SplitScene:
         jnp.take(scene.mat_specular, gids)[:, None],
         jnp.take(scene.mat_fresnel, gids)[:, None],
         jnp.take(scene.mat_shininess, gids)[:, None],
+        split.tri_rows[:split.n_tri, T_RID:T_RID + 1],
     ], axis=1)
     pad = split.tri_rows.shape[0] - split.n_tri
     if pad:

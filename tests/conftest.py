@@ -14,6 +14,19 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# If a sitecustomize already initialized jax on a hardware backend before
+# this conftest ran (the env default is JAX_PLATFORMS=axon and the PJRT
+# registration happens at interpreter startup), the env overrides above
+# came too late: the suite would run on the TPU — slow, occupying the
+# bench chip, and flaky on CPU-tuned tolerances. Fail fast instead.
+import jax  # noqa: E402
+
+if jax.devices()[0].platform != "cpu":
+    pytest.exit(
+        "tests must run on CPU: launch via ./run_tests.sh (or prefix "
+        "PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu) so the TPU tunnel is "
+        f"never dialed; got devices={jax.devices()}", returncode=3)
+
 # Interpret-mode speed: the production default (fused closest+shadow
 # kernel) doubles every interpret-mode traversal for zero extra CPU-test
 # coverage — the fused kernel's semantics are pinned explicitly by

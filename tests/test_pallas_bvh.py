@@ -40,7 +40,11 @@ def test_split_matches_wavefront_scene1(scene1, kw):
                                         cfg))
     img_s = np.asarray(pallas_split.render(sc.flat, lin, sc.camera,
                                            sc.light, cfg))
-    np.testing.assert_allclose(img_s, img_w, atol=2e-5)
+    # atol: 3-bounce attenuation chains reassociate differently between
+    # the two implementations; the worst bright-pixel deviation measured
+    # is ~2.3e-5 (and wobbles ~1 ulp with XLA:CPU codegen conditions), so
+    # 2e-5 was flaky-tight. 1e-4 still catches any semantic divergence.
+    np.testing.assert_allclose(img_s, img_w, atol=1e-4)
 
 
 def test_split_occlusion_mode_matches(scene1):
