@@ -154,12 +154,8 @@ def simulate_walk(split, o, d):
     stats = {"internal_iters": 0, "leaf_iters": 0, "live_tiles": 0,
              "tiles": g, "tri_rows_tested": 0}
 
-    # prepass best-t: brute over the pre rows with their leaf-box gates,
-    # reusing the kernel's own row formulas via the interpret-free numpy
-    # path below is overkill — the walk only needs an UPPER bound on
-    # t_best for its t-cull probes, and the prepass winner t. Use the
-    # exact reference oracle restricted to non-tri shapes: equivalent.
-    from raytracer_tpu.geom.aabb import slab_test_np
+    # prepass best-t seeds the walk's t-culling (numpy port of
+    # _pre_sphere/_pre_planewall below)
     pre = np.asarray(split.pre_rows)
 
     for ti in range(g):
@@ -226,51 +222,49 @@ def simulate_walk(split, o, d):
 
 def _prepass_np(pre, n_other, n_sph, ox, oy, oz, dx, dy, dz,
                 inv_dx, inv_dy, inv_dz, t_best):
-    from raytracer_tpu.render.pallas_split import (
-        G_B0X, G_B1X)
+    """Numpy port of _pre_sphere/_pre_planewall over the REAL packed row
+    layout (geom/rowwise.pack_rows: sphere center 1:4 radius 4; plane
+    family normal 5:8, d 8, u-basis 9:12 / s0 18, v-basis 12:15 / s1 19,
+    w 20, h 21, degenerate flag 23). Spheres skip the leaf-box gate
+    (provably redundant — see _pre_sphere)."""
+    from raytracer_tpu.render.pallas_split import G_B0X, G_B1X
     for i in range(n_other):
         r = pre[i]
-        # leaf-box gate
-        tx0 = (r[G_B0X] - ox) * inv_dx
-        tx1 = (r[G_B1X] - ox) * inv_dx
-        ty0 = (r[G_B0X + 1] - oy) * inv_dy
-        ty1 = (r[G_B1X + 1] - oy) * inv_dy
-        tz0 = (r[G_B0X + 2] - oz) * inv_dz
-        tz1 = (r[G_B1X + 2] - oz) * inv_dz
-        tmin = np.maximum(np.maximum(np.minimum(tx0, tx1),
-                                     np.minimum(ty0, ty1)),
-                          np.minimum(tz0, tz1))
-        tmax = np.minimum(np.minimum(np.maximum(tx0, tx1),
-                                     np.maximum(ty0, ty1)),
-                          np.maximum(tz0, tz1))
-        gate = (tmax >= tmin) & (tmax > 0)
         if i < n_sph:
-            cx, cy, cz, rad = r[1], r[2], r[3], r[4]
-            ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+            ocx, ocy, ocz = ox - r[1], oy - r[2], oz - r[3]
             aa = dx * dx + dy * dy + dz * dz
             b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
-            c = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+            c = ocx * ocx + ocy * ocy + ocz * ocz - r[4] * r[4]
             disc = b * b - 4 * aa * c
-            ok = disc > 0
             t = (-b - np.sqrt(np.maximum(disc, 0.0))) / (2 * aa)
-            inner = ok & (t > 0)
+            inner = (disc > 0) & (t > 0)
         else:
-            nx, ny, nz, pd = r[1], r[2], r[3], r[4]
-            npd = nx * dx + ny * dy + nz * dz
-            t = -(nx * ox + ny * oy + nz * oz + pd) / np.where(
-                npd == 0, 1.0, npd)
-            inner = (npd > 0) & (t > 0)
-            # wall bounds (w>0 marks a wall row)
-            w_, h_ = r[11], r[12]
-            if w_ > 0:
-                px = ox + t * dx
-                py = oy + t * dy
-                pz = oz + t * dz
-                rx, ry, rz = px - r[5], py - r[6], pz - r[7]
-                up = rx * r[8] + ry * r[9] + rz * r[10]
-                vp = rx * r[13] + ry * r[14] + rz * r[15]
-                inner &= (up >= 0) & (up <= w_) & (vp >= 0) & (vp <= h_)
-        better = gate & inner & (t < t_best)
+            nx, ny, nz = r[5], r[6], r[7]
+            d_n = nx * dx + ny * dy + nz * dz
+            t = -(r[8] + nx * ox + ny * oy + nz * oz) / np.where(
+                d_n == 0, 1.0, d_n)
+            v_pl = (d_n > 0) & (t > 0)
+            tw = np.where(v_pl, t, 0.0)
+            hx, hy, hz = ox + tw * dx, oy + tw * dy, oz + tw * dz
+            u = hx * r[9] + hy * r[10] + hz * r[11] - r[18]
+            v = hx * r[12] + hy * r[13] + hz * r[14] - r[19]
+            outside = (u < 0) | (u > r[20]) | (v < 0) | (v > r[21])
+            inner = v_pl & ((r[23] > 0) | ~outside)
+            # leaf-box gate (plane family only)
+            tx0 = (r[G_B0X] - ox) * inv_dx
+            tx1 = (r[G_B1X] - ox) * inv_dx
+            ty0 = (r[G_B0X + 1] - oy) * inv_dy
+            ty1 = (r[G_B1X + 1] - oy) * inv_dy
+            tz0 = (r[G_B0X + 2] - oz) * inv_dz
+            tz1 = (r[G_B1X + 2] - oz) * inv_dz
+            tmin = np.maximum(np.maximum(np.minimum(tx0, tx1),
+                                         np.minimum(ty0, ty1)),
+                              np.minimum(tz0, tz1))
+            tmax = np.minimum(np.minimum(np.maximum(tx0, tx1),
+                                         np.maximum(ty0, ty1)),
+                              np.maximum(tz0, tz1))
+            inner &= (tmax >= tmin) & (tmax > 0)
+        better = inner & (t < t_best)
         t_best = np.where(better, t, t_best)
     return t_best
 
@@ -308,7 +302,19 @@ def main():
     bvh = linearize(build_bvh(sc.flat, sc.bvh_max_depth))
     split = pallas_split.prepare(sc.flat, bvh)
 
-    streams, replay_img = record_walk_streams(sc, bvh, cfg)
+    cache = os.path.join("/tmp", f"walk_streams_s1_{W}x{H}.npz")
+    if os.path.exists(cache):
+        z = np.load(cache)
+        n = int(z["n"])
+        streams = [(str(z[f"name{i}"]), z[f"o{i}"], z[f"d{i}"])
+                   for i in range(n)]
+        replay_img = z["img"]
+    else:
+        streams, replay_img = record_walk_streams(sc, bvh, cfg)
+        np.savez(cache, n=len(streams), img=replay_img,
+                 **{f"name{i}": nm for i, (nm, _, _) in enumerate(streams)},
+                 **{f"o{i}": o for i, (_, o, _) in enumerate(streams)},
+                 **{f"d{i}": d for i, (_, _, d) in enumerate(streams)})
     ref_img = np.asarray(wavefront.render(sc.flat, bvh, sc.camera,
                                           sc.light, cfg))
     # blocked -> image order for the check
