@@ -170,25 +170,34 @@ def run(fn, rays, label, reps=30):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--groups", type=int, default=16)
+    ap.add_argument("--stream", type=int, default=-1,
+                    help="replay cached walk stream N (from roofline.py; "
+                         "0=primary closest, 2/4=bounce closest, odd="
+                         "shadow); -1 = generate primary rays")
     args = ap.parse_args()
     sc = generate_scene1()
     bvh = linearize(build_bvh(sc.flat, sc.bvh_max_depth))
     split = pallas_split.prepare(sc.flat, bvh)
     boxes, spans = make_groups(split, args.groups)
 
-    o, d = cam_ops.camera_rays(sc.camera, W, H)
     bh, bw = _block_shape(TH * TW)
+    if args.stream >= 0:
+        z = np.load(f"/tmp/walk_streams_s1_{W}x{H}.npz")
+        o_b = jnp.asarray(z[f"o{args.stream}"])
+        d_b = jnp.asarray(z[f"d{args.stream}"])
+    else:
+        o, d = cam_ops.camera_rays(sc.camera, W, H)
 
-    def to_blocks(x, fill):
-        hp = -(-H // bh) * bh
-        wp = -(-W // bw) * bw
-        x = jnp.pad(x, ((0, hp - H), (0, wp - W), (0, 0)),
-                    constant_values=fill)
-        x = x.reshape(hp // bh, bh, wp // bw, bw, 3)
-        return x.transpose(0, 2, 1, 3, 4).reshape(-1, 3)
+        def to_blocks(x, fill):
+            hp = -(-H // bh) * bh
+            wp = -(-W // bw) * bw
+            x = jnp.pad(x, ((0, hp - H), (0, wp - W), (0, 0)),
+                        constant_values=fill)
+            x = x.reshape(hp // bh, bh, wp // bw, bw, 3)
+            return x.transpose(0, 2, 1, 3, 4).reshape(-1, 3)
 
-    o_b = to_blocks(o, whitted.PARK_ORIGIN)
-    d_b = to_blocks(d, whitted._PARK_DIR)
+        o_b = to_blocks(o, whitted.PARK_ORIGIN)
+        d_b = to_blocks(d, whitted._PARK_DIR)
     g = o_b.shape[0] // (TH * TW)
     rays = jnp.stack([o_b[:, 0], o_b[:, 1], o_b[:, 2],
                       d_b[:, 0], d_b[:, 1], d_b[:, 2]]) \

@@ -65,19 +65,21 @@ def make_chain(n, hit):
             jnp.asarray(tri), m)
 
 
-def bench_chain(n, hit):
+def bench_chain(n, hit, with_normals=False):
     ls, lc, sk, nodes, pre, tri, m = make_chain(n, hit)
 
     def kernel(ls_ref, lc_ref, sk_ref, nodes_ref, pre_ref, tri_ref,
                rays_ref, t_ref, g_ref):
-        t, g = _closest_pass(
+        out = _closest_pass(
             ls_ref, lc_ref, sk_ref, nodes_ref, pre_ref, tri_ref,
             rays_ref[0, 0], rays_ref[1, 0], rays_ref[2, 0],
             rays_ref[3, 0], rays_ref[4, 0], rays_ref[5, 0],
-            m=m, n_other=0, n_sph=0, use_mt=False, with_normals=False,
+            m=m, n_other=0, n_sph=0, use_mt=False,
+            with_normals=with_normals,
             unroll=pallas_split.TRI_UNROLL)
-        t_ref[0] = t
-        g_ref[0] = g
+        t_ref[0] = out[0]
+        g_ref[0] = out[1] + sum(out[2:], jnp.zeros_like(out[0])) \
+            if with_normals else out[1]
 
     rays = jnp.ones((GRID, 6, TH, TW), jnp.float32)
     spec = pltpu.PrefetchScalarGridSpec(
@@ -109,13 +111,14 @@ def bench_chain(n, hit):
 
 
 def main():
-    for hit in (False, True):
+    for hit, wn in ((False, False), (True, False), (True, True)):
         times = {}
         for n in (8, 64, 256):
-            times[n] = bench_chain(n, hit)
+            times[n] = bench_chain(n, hit, wn)
         slope = (times[256] - times[8]) / (256 - 8) / GRID
         print(json.dumps({
-            "mode": "leaf(U tests)" if hit else "internal(probe only)",
+            "mode": ("leaf(U tests)" if hit else "internal(probe only)")
+            + ("+normals" if wn else ""),
             "s_per_launch": {k: round(v, 6) for k, v in times.items()},
             "per_tile_per_iter_us": round(slope * 1e6, 3),
         }), flush=True)

@@ -89,6 +89,20 @@ USE_RESOLVE_KERNEL = True
 #   exactly what the skips save (scene 2: 13.48 vs 13.70 FPS, also a
 #   wash). The pre-pass cost is origin/direction-diverse bounce+shadow
 #   passes, where any whole-tile bundle is too fat to cull.
+# - GROUPED one-level walk (replace the tree with ~16 contiguous DFS-
+#   span groups: 16 INDEPENDENT slab probes + any()s, then a static
+#   lax.cond chain of per-group test blocks — benchmarks/
+#   group_walk_ab.py). Rationale: every while iteration costs ~0.29us
+#   of serial any->scalar->branch latency (benchmarks/iter_latency.py),
+#   so independent probes should pipeline. Measured: +1.9% on the
+#   coherent primary stream (fixed per-tile cost dominates there), 0.76x
+#   on the divergent bounce-2 stream (testing every probed group's full
+#   span loses to hierarchical skipping). Dead end.
+# - OCTANT-ORDERED traversal (8 near-child-first DFS linearizations,
+#   per-tile majority-sign pick — benchmarks/ordered_walk_eval.py):
+#   iteration census shows only 1.1% fewer iterations — packet any-lane
+#   semantics visit the union of 2048 lanes' subtrees regardless of
+#   order, so earlier t-tightening prunes almost nothing. Dead end.
 # - Software-pipelined walk merging for the whole-frame kernel: bounce
 #   b's shadow walk and bounce b+1's closest walk are independent (the
 #   reflected ray needs the resolved material, not the shadow bit), so
@@ -214,7 +228,7 @@ class SplitScene:
                     self.tri_gids, self.tri_leaf_id, self.leaf_lo,
                     self.leaf_hi, self.node_lo, self.node_hi)
         aux = (self.n_other, self.n_sph, self.n_tri, self.m, self.m_pad,
-               self.n_leaf)
+               self.n_leaf, self.rid_values)
         return children, aux
 
     @classmethod
@@ -225,7 +239,7 @@ class SplitScene:
          obj.tri_gids, obj.tri_leaf_id, obj.leaf_lo,
          obj.leaf_hi, obj.node_lo, obj.node_hi) = children
         (obj.n_other, obj.n_sph, obj.n_tri, obj.m, obj.m_pad,
-         obj.n_leaf) = aux
+         obj.n_leaf, obj.rid_values) = aux
         return obj
 
     def replace_leaves(self, **kw) -> "SplitScene":
@@ -241,6 +255,10 @@ class SplitScene:
                  tri_max_depth: int | None = None):
         st = np.asarray(scene.shape_type)
         canon = _canonical_material_ids(scene)
+        # the distinct canonical resolve ids, STATIC: lets the wholeframe
+        # resolve unroll over known table rows (static VMEM indexing, no
+        # cross-lane syncs) instead of a distinct-id while loop
+        self.rid_values = tuple(int(v) for v in np.unique(canon))
         tri_ids = np.nonzero(st == TRIANGLE)[0].astype(np.int32)
         other_ids = np.nonzero(st != TRIANGLE)[0].astype(np.int32)
         # Pre rows grouped by type — SPHERES first, then the plane family —
@@ -544,6 +562,15 @@ RUN_TRAVERSAL = True
 # is log2(n) blends deep. v5e scene 1 800x600x3: 13.37 -> 8.9 ms/frame.
 PRE_TREE_REDUCE = True
 
+# Tree-reduce the U triangle tests inside a leaf iteration the same way.
+# Bit-exact, but measured NEUTRAL on v5e (9.45 ms fold vs 9.56 tree,
+# scene 1 800x600x3): unlike the pre-pass, the leaf fold's serial blend
+# chain already hides entirely under the walk's ~0.29us/iteration
+# control latency (benchmarks/iter_latency.py — iterations cost the
+# same with or without their vector work). Kept switchable as the
+# documented negative result.
+LEAF_TREE_REDUCE = False
+
 
 def _reduce_candidates(cands):
     """Balanced strict-min reduction of (t, payload...) tuples; on exact
@@ -734,6 +761,34 @@ def _split_body(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
         def leaf_tests(carry):
             t_best, gid_best = carry[0], carry[1]
             attrs = carry[2:]
+            if LEAF_TREE_REDUCE and not emit:
+                if occlusion:
+                    hits = []
+                    for j in range(unroll):
+                        row = st + k + j
+                        t, inner = _tri_test(tri_ref, row, ox, oy, oz,
+                                             dx, dy, dz, use_mt)
+                        h = inner & (t < limit)
+                        hits.append(h if j == 0 else h & ((k + j) < cnt))
+                    while len(hits) > 1:
+                        pairs = [a | b for a, b in zip(hits[0::2],
+                                                       hits[1::2])]
+                        hits = pairs + ([hits[-1]] if len(hits) & 1
+                                        else [])
+                    return (jnp.where(hits[0], 0.0, t_best),
+                            gid_best) + attrs
+                cands = []
+                for j in range(unroll):
+                    row = st + k + j
+                    t, inner = _tri_test(tri_ref, row, ox, oy, oz,
+                                         dx, dy, dz, use_mt)
+                    ok = inner if j == 0 else inner & ((k + j) < cnt)
+                    cands.append((jnp.where(ok, t, INF),
+                                  tri_ref[row, T_GID]))
+                best = _reduce_candidates(cands)
+                better = best[0] < t_best
+                return (jnp.where(better, best[0], t_best),
+                        jnp.where(better, best[1], gid_best)) + attrs
             for j in range(unroll):
                 row = st + k + j
                 valid = ((k + j) < cnt) if j else None
@@ -980,6 +1035,25 @@ def _closest_pass(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
         def leaf_tests(carry):
             t_best, gid_best = carry[0], carry[1]
             nrm = carry[2:]
+            if LEAF_TREE_REDUCE:
+                cands = []
+                for j in range(unroll):
+                    row = st + k + j
+                    t, inner = _tri_test(tri_ref, row, ox, oy, oz,
+                                         dx, dy, dz, use_mt)
+                    ok = inner if j == 0 else inner & ((k + j) < cnt)
+                    payload = (jnp.where(ok, t, INF),
+                               tri_ref[row, tcol])
+                    if with_normals:
+                        payload = payload + (tri_ref[row, T_NX],
+                                             tri_ref[row, T_NY],
+                                             tri_ref[row, T_NZ])
+                    cands.append(payload)
+                best = _reduce_candidates(cands)
+                better = best[0] < t_best
+                out = tuple(jnp.where(better, nb, c) for nb, c in
+                            zip(best, (t_best, gid_best) + nrm))
+                return out
             for j in range(unroll):
                 row = st + k + j
                 valid = True if j == 0 else (k + j) < cnt
@@ -1108,6 +1182,23 @@ def _fused_kernel(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
 # passes, and 5 of the 6 kernel launches (+ their grid sweeps).
 USE_WHOLEFRAME = True
 
+# Static material resolve (see _wholeframe_kernel): unroll over the
+# prepare()-time distinct canonical ids instead of the distinct-id while
+# loop. Caps at 128 ids — beyond that the unrolled vector work stops
+# being obviously cheaper than the loop's syncs.
+USE_STATIC_RESOLVE = True
+STATIC_RESOLVE_MAX = 128
+
+# Generate primary rays + background INSIDE the wholeframe kernel from
+# the tile's pixel iota and 14 camera scalars, instead of feeding
+# XLA-built (9, g, th, tw) ray blocks. The XLA raygen pipeline
+# (camera_rays + three to_blocks relayouts + bg broadcast) measures
+# ~3.8 ms/frame standalone at 800x600 on v5e (benchmarks/
+# profile_waves.py 'raygen_blocks') — the single largest non-kernel
+# cost. Formulas mirror core/camera.get_rays + pixel_ndc and
+# shading.background term by term.
+USE_KERNEL_RAYGEN = True
+
 # attr-table columns consumed by the in-kernel resolve (whitted._attr_table)
 _TAB_MAT_COLS = (3, 4, 5, 6, 7, 8, 9, 10)  # color rgb, ka, kd, ks, kf, shin
 
@@ -1118,27 +1209,77 @@ def _wholeframe_kernel(leaf_start_ref, leaf_count_ref, skip_ref,
                        *scratch,
                        m, n_other, n_sph, use_mt, bounces, shadow_eps,
                        reflect_eps, use_fresnel, enable_shadows,
-                       unroll=1):
+                       unroll=1, rid_values=None, raygen=None):
     """One tile's full Whitted trace (whitted.trace, bounce-unrolled).
-    rays rows: o(3), d(3), bg(3). par (1, 8): light pos(3) + color(3).
+    rays rows: o(3), d(3), bg(3). par (1, 24): light pos(3) + color(3)
+    [+ camera pos/front/right/up (12), half_w, half_h when raygen].
     scratch: 8 (th, tw) VMEM accumulators for the resolved material
     columns. Shading math mirrors whitted.trace/shading.phong term by
-    term (gpu_shader.comp:331-361, 433-517)."""
-    ox = rays_ref[0, 0]
-    oy = rays_ref[1, 0]
-    oz = rays_ref[2, 0]
-    dx = rays_ref[3, 0]
-    dy = rays_ref[4, 0]
-    dz = rays_ref[5, 0]
-    bgr = rays_ref[6, 0]
-    bgg = rays_ref[7, 0]
-    bgb = rays_ref[8, 0]
+    term (gpu_shader.comp:331-361, 433-517). With raygen=(W, H, th, tw,
+    n_bw), rays_ref is None and primary rays + background are generated
+    from the tile's pixel iota (core/camera.get_rays + pixel_ndc +
+    shading.background, mirrored term by term)."""
     lx = par_ref[0, 0]
     ly = par_ref[0, 1]
     lz = par_ref[0, 2]
     lcr = par_ref[0, 3]
     lcg = par_ref[0, 4]
     lcb = par_ref[0, 5]
+    if raygen is not None:
+        w_img, h_img, th, tw, n_bw = raygen
+        i = pl.program_id(0)
+        y0 = ((i // n_bw) * th).astype(jnp.float32)
+        x0 = ((i % n_bw) * tw).astype(jnp.float32)
+        yi = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 0) + y0
+        xi = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 1) + x0
+        ndc_x = 2.0 * xi / float(w_img) - 1.0
+        ndc_y = 1.0 - 2.0 * yi / float(h_img)
+        cpx = par_ref[0, 6]
+        cpy = par_ref[0, 7]
+        cpz = par_ref[0, 8]
+        fx_ = par_ref[0, 9]
+        fy_ = par_ref[0, 10]
+        fz_ = par_ref[0, 11]
+        rx_ = par_ref[0, 12]
+        ry_ = par_ref[0, 13]
+        rz_ = par_ref[0, 14]
+        ux_ = par_ref[0, 15]
+        uy_ = par_ref[0, 16]
+        uz_ = par_ref[0, 17]
+        half_w = par_ref[0, 18]
+        half_h = par_ref[0, 19]
+        # plane_point - position, exactly get_rays' op order
+        vx = (cpx + fx_ + ndc_x * half_w * rx_ + ndc_y * half_h * ux_) \
+            - cpx
+        vy = (cpy + fy_ + ndc_x * half_w * ry_ + ndc_y * half_h * uy_) \
+            - cpy
+        vz = (cpz + fz_ + ndc_x * half_w * rz_ + ndc_y * half_h * uz_) \
+            - cpz
+        nrm = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+        valid = (xi < float(w_img)) & (yi < float(h_img))
+        ox = jnp.where(valid, cpx, whitted.PARK_ORIGIN)
+        oy = jnp.where(valid, cpy, whitted.PARK_ORIGIN)
+        oz = jnp.where(valid, cpz, whitted.PARK_ORIGIN)
+        dx = jnp.where(valid, vx / nrm, whitted._PARK_DIR)
+        dy = jnp.where(valid, vy / nrm, whitted._PARK_DIR)
+        dz = jnp.where(valid, vz / nrm, whitted._PARK_DIR)
+        f_bg = yi / float(h_img)
+        bgr = shading.BG_DARK[0] + (shading.BG_SKY[0]
+                                    - shading.BG_DARK[0]) * f_bg
+        bgg = shading.BG_DARK[1] + (shading.BG_SKY[1]
+                                    - shading.BG_DARK[1]) * f_bg
+        bgb = shading.BG_DARK[2] + (shading.BG_SKY[2]
+                                    - shading.BG_DARK[2]) * f_bg
+    else:
+        ox = rays_ref[0, 0]
+        oy = rays_ref[1, 0]
+        oz = rays_ref[2, 0]
+        dx = rays_ref[3, 0]
+        dy = rays_ref[4, 0]
+        dz = rays_ref[5, 0]
+        bgr = rays_ref[6, 0]
+        bgg = rays_ref[7, 0]
+        bgb = rays_ref[8, 0]
 
     zero = jnp.zeros_like(ox)
     one = jnp.ones_like(ox)
@@ -1187,32 +1328,43 @@ def _wholeframe_kernel(leaf_start_ref, leaf_count_ref, skip_ref,
         else:
             in_shadow = jnp.zeros_like(hit)
 
-        # material resolve: loop over the tile's distinct winning shape
-        # ids (see _resolve_kernel) — ONE f32 while-carry, disjoint-mask
-        # accumulation into scratch
-        for ref in scratch:
-            ref[...] = zero
+        # material resolve. STATIC path: the distinct canonical resolve
+        # ids are known at prepare() time (SplitScene.rid_values), so the
+        # resolve is a static unroll of (gid == r) masked accumulations
+        # with STATIC table indices — pure vector work, zero cross-lane
+        # syncs. Fallback: the distinct-id while loop (_resolve_kernel
+        # trick), which pays a cross-lane min + any PER ITERATION.
+        if rid_values is not None:
+            cols = [zero] * len(_TAB_MAT_COLS)
+            for r in rid_values:
+                mf = (gid == float(r)).astype(jnp.float32)
+                cols = [c + mf * tab_ref[r, col]
+                        for c, col in zip(cols, _TAB_MAT_COLS)]
+            mcr, mcg, mcb, ka, kd, ks, kf, shin = cols
+        else:
+            for ref in scratch:
+                ref[...] = zero
 
-        def rcond(u):
-            return jnp.any(u > 0.0)
+            def rcond(u):
+                return jnp.any(u > 0.0)
 
-        def rbody(u):
-            s = jnp.min(jnp.where(u > 0.0, gid, 3.4e38))
-            si = s.astype(jnp.int32)
-            mf = (gid == s).astype(jnp.float32) * u
-            for ref, col in zip(scratch, _TAB_MAT_COLS):
-                ref[...] = ref[...] + mf * tab_ref[si, col]
-            return u - mf
+            def rbody(u):
+                s = jnp.min(jnp.where(u > 0.0, gid, 3.4e38))
+                si = s.astype(jnp.int32)
+                mf = (gid == s).astype(jnp.float32) * u
+                for ref, col in zip(scratch, _TAB_MAT_COLS):
+                    ref[...] = ref[...] + mf * tab_ref[si, col]
+                return u - mf
 
-        jax.lax.while_loop(rcond, rbody, hit.astype(jnp.float32))
-        mcr = scratch[0][...]
-        mcg = scratch[1][...]
-        mcb = scratch[2][...]
-        ka = scratch[3][...]
-        kd = scratch[4][...]
-        ks = scratch[5][...]
-        kf = scratch[6][...]
-        shin = scratch[7][...]
+            jax.lax.while_loop(rcond, rbody, hit.astype(jnp.float32))
+            mcr = scratch[0][...]
+            mcg = scratch[1][...]
+            mcb = scratch[2][...]
+            ka = scratch[3][...]
+            kd = scratch[4][...]
+            ks = scratch[5][...]
+            kf = scratch[6][...]
+            shin = scratch[7][...]
 
         # phong (shading.phong, attenuate=True): term order preserved
         dist_p = jnp.sqrt(jnp.maximum(ldx * ldx + ldy * ldy + ldz * ldz,
@@ -1286,37 +1438,59 @@ def _wholeframe_kernel(leaf_start_ref, leaf_count_ref, skip_ref,
 
 
 def _wholeframe_render(split: SplitScene, attr_tab, light: Light,
-                       o, d, bg, cfg: RenderConfig):
+                       o, d, bg, cfg: RenderConfig, camera=None,
+                       grid_shape=None):
     """Trace blocked rays o/d/bg (R, 3) to final colors (R, 3) in one
-    pallas launch (see _wholeframe_kernel)."""
+    pallas launch (see _wholeframe_kernel). With camera+grid_shape
+    given (USE_KERNEL_RAYGEN), o/d/bg are None and rays are generated
+    in-kernel."""
     interpret = _auto_interpret(cfg)
     th, tw = cfg.tile_h, cfg.tile_w
-    r = o.shape[0]
     tile = th * tw
-    pad = (-r) % tile
-    comps = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-             bg[:, 0], bg[:, 1], bg[:, 2]]
-    if pad:
-        fills = [2e30, 2e30, 2e30, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0]
-        comps = [jnp.pad(c, ((0, pad),), constant_values=f)
-                 for c, f in zip(comps, fills)]
-    g = comps[0].shape[0] // tile
-    rays = jnp.stack(comps).reshape(9, g, th, tw)
-    par = jnp.concatenate(
-        [light.position, light.color,
-         jnp.zeros(2, jnp.float32)]).astype(jnp.float32).reshape(1, 8)
+    raygen = None
+    if camera is not None:
+        n_bh, n_bw = grid_shape
+        g = n_bh * n_bw
+        r = g * tile
+        raygen = (cfg.width, cfg.height, th, tw, n_bw)
+        half_h = jnp.tan(jnp.deg2rad(camera.fov_deg / 2.0))
+        half_w = half_h * camera.aspect
+        par = jnp.concatenate(
+            [light.position, light.color, camera.position, camera.front,
+             camera.right, camera.up,
+             jnp.stack([half_w, half_h]).reshape(2),
+             jnp.zeros(4, jnp.float32)]).astype(jnp.float32).reshape(1, 24)
+    else:
+        r = o.shape[0]
+        pad = (-r) % tile
+        comps = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+                 bg[:, 0], bg[:, 1], bg[:, 2]]
+        if pad:
+            fills = [2e30, 2e30, 2e30, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0]
+            comps = [jnp.pad(c, ((0, pad),), constant_values=f)
+                     for c, f in zip(comps, fills)]
+        g = comps[0].shape[0] // tile
+        rays = jnp.stack(comps).reshape(9, g, th, tw)
+        par = jnp.concatenate(
+            [light.position, light.color,
+             jnp.zeros(18, jnp.float32)]).astype(jnp.float32) \
+            .reshape(1, 24)
 
+    rid_values = split.rid_values \
+        if (USE_STATIC_RESOLVE
+            and len(split.rid_values) <= STATIC_RESOLVE_MAX) else None
     kern = functools.partial(
         _wholeframe_kernel, m=split.m, n_other=split.n_other,
         n_sph=split.n_sph, use_mt=cfg.use_mt, bounces=cfg.max_bounces,
         shadow_eps=float(cfg.shadow_eps),
         reflect_eps=float(cfg.reflect_eps),
         use_fresnel=cfg.use_fresnel, enable_shadows=cfg.enable_shadows,
-        unroll=TRI_UNROLL)
-    spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(g,),
-        in_specs=[
+        unroll=TRI_UNROLL, rid_values=rid_values, raygen=raygen)
+    if raygen is not None:
+        def body(ls, lc, sk, nd, pr, tr, tb, pa, *outs):
+            # rays_ref slot is None: rays are generated in-kernel
+            kern(ls, lc, sk, nd, pr, tr, tb, pa, None, *outs)
+        in_specs = [
             pl.BlockSpec(split.nodes.shape, lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(split.pre_rows.shape, lambda i, *_: (0, 0),
@@ -1325,23 +1499,43 @@ def _wholeframe_render(split: SplitScene, attr_tab, light: Light,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(attr_tab.shape, lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8), lambda i, *_: (0, 0),
+            pl.BlockSpec((1, 24), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = (*split.device_args(), attr_tab, par)
+    else:
+        body = kern
+        in_specs = [
+            pl.BlockSpec(split.nodes.shape, lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(split.pre_rows.shape, lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(split.tri_rows.shape, lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(attr_tab.shape, lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 24), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, 1, th, tw), lambda i, *_: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ]
+        operands = (*split.device_args(), attr_tab, par, rays)
+    spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(g,),
+        in_specs=in_specs,
         out_specs=[pl.BlockSpec((1, th, tw), lambda i, *_: (i, 0, 0))
                    for _ in range(3)],
         scratch_shapes=[pltpu.VMEM((th, tw), jnp.float32)
                         for _ in range(8)],
     )
     outs = pl.pallas_call(
-        kern,
+        body,
         grid_spec=spec,
         out_shape=[jax.ShapeDtypeStruct((g, th, tw), jnp.float32)
                    for _ in range(3)],
         interpret=interpret,
-    )(*split.device_args(), attr_tab, par, rays)
+    )(*operands)
     return jnp.stack([x.reshape(-1)[:r] for x in outs], axis=-1)
 
 
@@ -1612,10 +1806,25 @@ def _render_impl(scene: FlatScene, split: SplitScene, camera, light,
         x = x.reshape(hp // bh, bh, wp // bw, bw, 3)
         return x.transpose(0, 2, 1, 3, 4).reshape(-1, 3)
 
-    # Block-order ray GENERATION (emit rays directly in tile lane order,
-    # skipping these transposes) was A/B'd on chip: exactly neutral
-    # (61.6 vs 61.4 FPS) and not bit-identical (FMA reassociation flips a
-    # silhouette pixel) — rejected.
+    use_wholeframe = USE_WHOLEFRAME and not differentiable \
+        and not USE_KERNEL_ATTRS and not USE_OCCLUSION
+    if use_wholeframe and USE_KERNEL_RAYGEN and (bh, bw) == (cfg.tile_h,
+                                                             cfg.tile_w):
+        # rays + background generated in-kernel from the pixel iota —
+        # the XLA raygen pipeline (camera_rays + 3 to_blocks relayouts +
+        # bg broadcast) measures ~3.8 ms/frame standalone at 800x600
+        # (profile_waves 'raygen_blocks').
+        colors = _wholeframe_render(
+            split, whitted._attr_table(scene), light, None, None, None,
+            cfg, camera=camera, grid_shape=(hp // bh, wp // bw))
+        colors = colors.reshape(hp // bh, wp // bw, bh, bw, 3)
+        colors = colors.transpose(0, 2, 1, 3, 4).reshape(hp, wp, 3)
+        return colors[:h, :w]
+
+    # Block-order ray GENERATION in XLA (emit rays directly in tile lane
+    # order, skipping these transposes) was A/B'd on chip: exactly
+    # neutral (61.6 vs 61.4 FPS) — the cost is the XLA elementwise work
+    # itself, which the in-kernel raygen path above removes.
     o, d = cam_ops.camera_rays(camera, w, h)
     ys = jnp.arange(h, dtype=jnp.float32) / h
     bg = jnp.broadcast_to(shading.background(ys)[:, None, :], (h, w, 3))
@@ -1623,8 +1832,7 @@ def _render_impl(scene: FlatScene, split: SplitScene, camera, light,
     d_b = to_blocks(d, fill=whitted._PARK_DIR)
     bg_b = to_blocks(bg)
 
-    if USE_WHOLEFRAME and not differentiable and not USE_KERNEL_ATTRS \
-            and not USE_OCCLUSION:
+    if use_wholeframe:
         colors = _wholeframe_render(split, whitted._attr_table(scene),
                                     light, o_b, d_b, bg_b, cfg)
     else:
