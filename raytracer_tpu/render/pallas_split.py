@@ -1226,12 +1226,25 @@ def _wholeframe_kernel(leaf_start_ref, leaf_count_ref, skip_ref,
     lcg = par_ref[0, 4]
     lcb = par_ref[0, 5]
     if raygen is not None:
-        w_img, h_img, th, tw, n_bw = raygen
+        # Pixel coords of this tile's lanes. The image is cut into
+        # (bh, bw) square-ish blocks (spatial locality, _block_shape);
+        # each block's bh*bw rays are laid out row-major into the
+        # (th, tw) VMEM tile. bw and tw are powers of two, so the
+        # f32 div/mod below are exact (all ints < 2^24).
+        w_img, h_img, bh, bw, th, tw, n_bw = raygen
         i = pl.program_id(0)
-        y0 = ((i // n_bw) * th).astype(jnp.float32)
-        x0 = ((i % n_bw) * tw).astype(jnp.float32)
-        yi = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 0) + y0
-        xi = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 1) + x0
+        y0 = ((i // n_bw) * bh).astype(jnp.float32)
+        x0 = ((i % n_bw) * bw).astype(jnp.float32)
+        # int32 iota (Mosaic rejects f32 tpu.iota), then exact f32 convert
+        a = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) \
+            .astype(jnp.float32)
+        b = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) \
+            .astype(jnp.float32)
+        rr = a * float(tw) + b          # ray index within the block
+        row = jnp.floor(rr / float(bw))
+        col = rr - row * float(bw)
+        yi = y0 + row
+        xi = x0 + col
         ndc_x = 2.0 * xi / float(w_img) - 1.0
         ndc_y = 1.0 - 2.0 * yi / float(h_img)
         cpx = par_ref[0, 6]
@@ -1449,10 +1462,10 @@ def _wholeframe_render(split: SplitScene, attr_tab, light: Light,
     tile = th * tw
     raygen = None
     if camera is not None:
-        n_bh, n_bw = grid_shape
+        n_bh, n_bw, bh, bw = grid_shape
         g = n_bh * n_bw
         r = g * tile
-        raygen = (cfg.width, cfg.height, th, tw, n_bw)
+        raygen = (cfg.width, cfg.height, bh, bw, th, tw, n_bw)
         half_h = jnp.tan(jnp.deg2rad(camera.fov_deg / 2.0))
         half_w = half_h * camera.aspect
         par = jnp.concatenate(
@@ -1808,15 +1821,14 @@ def _render_impl(scene: FlatScene, split: SplitScene, camera, light,
 
     use_wholeframe = USE_WHOLEFRAME and not differentiable \
         and not USE_KERNEL_ATTRS and not USE_OCCLUSION
-    if use_wholeframe and USE_KERNEL_RAYGEN and (bh, bw) == (cfg.tile_h,
-                                                             cfg.tile_w):
-        # rays + background generated in-kernel from the pixel iota —
-        # the XLA raygen pipeline (camera_rays + 3 to_blocks relayouts +
-        # bg broadcast) measures ~3.8 ms/frame standalone at 800x600
-        # (profile_waves 'raygen_blocks').
+    if use_wholeframe and USE_KERNEL_RAYGEN:
+        # rays + background generated in-kernel from the pixel iota,
+        # skipping the XLA raygen pipeline (camera_rays + 3 to_blocks
+        # relayouts + bg broadcast) entirely.
         colors = _wholeframe_render(
             split, whitted._attr_table(scene), light, None, None, None,
-            cfg, camera=camera, grid_shape=(hp // bh, wp // bw))
+            cfg, camera=camera,
+            grid_shape=(hp // bh, wp // bw, bh, bw))
         colors = colors.reshape(hp // bh, wp // bw, bh, bw, 3)
         colors = colors.transpose(0, 2, 1, 3, 4).reshape(hp, wp, 3)
         return colors[:h, :w]
