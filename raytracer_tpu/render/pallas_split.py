@@ -133,7 +133,11 @@ TRI_UNROLL = 32
 # Target leaf size of the triangle-only BVH (any tree is exact — see
 # module docstring). The default tri_max_depth is derived from this so
 # leaves hold a few TRI_UNROLL batches regardless of scene size.
-TRI_LEAF_TARGET = 96
+# 128 (round-2 re-sweep): scene 1's tree is identical at 96 and 128
+# (m=49), while scene 2 drops from depth 7/m=191 to depth 6/m=127 —
+# 31.8 -> 30.4 ms on v5e (fewer iterations wins; the walk is iteration-
+# latency bound). Depth 8/9 and U=64 at depth 6 all measured worse.
+TRI_LEAF_TARGET = 128
 
 
 def _canonical_material_ids(scene: FlatScene) -> np.ndarray:
