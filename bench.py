@@ -98,7 +98,10 @@ def _run_candidate(name: str):
     # a per-frame host sync costs a fixed ~30ms tunnel round-trip that has
     # nothing to do with device compute, so the blocked per-frame latency
     # is reported separately.
-    nframes = 20
+    # 50 frames: the 20-frame stream under-reported steady state by ~6%
+    # (ramp-up bubbles amortize over the stream; profiler-measured device
+    # busy time is 7.6 ms/frame vs 9.1 wall at n=20, 8.6 at n=30).
+    nframes = 50
     t0 = time.perf_counter()
     outs = [fn() for _ in range(nframes)]
     jax.block_until_ready(outs)
