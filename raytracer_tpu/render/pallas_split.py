@@ -89,6 +89,17 @@ USE_RESOLVE_KERNEL = True
 #   exactly what the skips save (scene 2: 13.48 vs 13.70 FPS, also a
 #   wash). The pre-pass cost is origin/direction-diverse bounce+shadow
 #   passes, where any whole-tile bundle is too fat to cull.
+# - STATIC BRUTE for divergent walks (skip the hierarchy for bounce 2/3
+#   rays: a fully unrolled, control-free, tree-reduced pass over all
+#   1211 triangles — benchmarks/brute_walk_ab.py): bit-exact but 3.0x
+#   SLOWER than the walk on the bounce-2 stream (3.87 vs 1.30 ms). The
+#   decisive calibration: the compare/select-heavy intersection mix
+#   achieves only ~2.0e9 vreg-ops/s in situ (~15% of the pure-FMA
+#   microbenchmark peak), so 'latency-bound iterations whose vector work
+#   rides free' stops being true for op counts this large — and at that
+#   achieved rate the whole frame's 10.3M vreg-ops are ~5.1 ms, close to
+#   the 7.6 ms profiler-measured kernel busy time. The kernel is near
+#   its ACHIEVABLE roofline; wins must come from fewer ops.
 # - GROUPED one-level walk (replace the tree with ~16 contiguous DFS-
 #   span groups: 16 INDEPENDENT slab probes + any()s, then a static
 #   lax.cond chain of per-group test blocks — benchmarks/
