@@ -62,6 +62,25 @@ def test_split_occlusion_mode_matches(scene1):
     np.testing.assert_allclose(img_o, img_c, atol=2e-5)
 
 
+@pytest.mark.parametrize("wh", [(100, 75), (96, 64)])
+def test_split_kernel_raygen_odd_sizes(scene1, wh):
+    """The in-kernel ray generation derives each lane's pixel from the
+    square-ish image-block -> VMEM-tile layout (pallas_split
+    _wholeframe_kernel raygen); sizes that are NOT multiples of the
+    block shape exercise the padding/parking and the div/mod mapping.
+    A mapping bug shifts whole regions; FP-reassociation may flip lone
+    silhouette pixels (~1 in 10k), so assert overwhelming agreement."""
+    w, h = wh
+    sc, lin = scene1
+    cfg = CFG.replace(width=w, height=h, ray_chunk=w * h)
+    img_w = np.asarray(wavefront.render(sc.flat, lin, sc.camera, sc.light,
+                                        cfg))
+    img_s = np.asarray(pallas_split.render(sc.flat, lin, sc.camera,
+                                           sc.light, cfg))
+    frac_ok = np.mean(np.abs(img_s - img_w).max(-1) <= 1e-4)
+    assert frac_ok > 0.999, f"only {frac_ok:.4%} of pixels agree"
+
+
 def test_scene3_kernels(scene1):
     sc = generate_scene3()
     lin = linearize(build_bvh(sc.flat, 0))
