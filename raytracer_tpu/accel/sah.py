@@ -34,6 +34,10 @@ N_BINS = 16
 # TRI_LEAF_TARGET=128 optimum.
 C_TRAV = 24.0
 C_ISECT = 1.0
+# v5e sweep at 800x600x3 (leaf_target, C_TRAV) -> FPS:
+#   scene 2: (96,24) 50.1 | (128,24) 51.1 | (96,48) 51.2 | (64,48) 50.9
+#   scene 1: (96,24) 124.0 | (128,24) 123.7 | (96,48) 122.2
+# (96, 24) kept: within noise of the best on both scenes.
 
 
 def build_sah(scene=None, leaf_target: int = 64, *, aabbs=None,
