@@ -41,9 +41,19 @@ C_ISECT = 1.0
 
 
 def build_sah(scene=None, leaf_target: int = 64, *, aabbs=None,
-              centers=None, max_depth: int = 32) -> BVH:
+              centers=None, max_depth: int = 32,
+              spatial: bool = False, max_refs_factor: float = 2.0) -> BVH:
     """Build a binned-SAH BVH over the scene's shapes (or explicit
-    aabbs/centers). Returns the root-last BVH container."""
+    aabbs/centers). Returns the root-last BVH container.
+
+    spatial=True additionally considers a mid-plane SPATIAL split at
+    each node (SBVH-lite): references straddling the plane go to BOTH
+    children with their boxes clamped to each side. Exactness is kept —
+    the clamped boxes partition the primitive's AABB, so any hit point
+    lies inside some copy's leaf box and the closest-hit min is
+    idempotent to duplicate tests. Duplication is capped at
+    max_refs_factor * N references. Consumers must treat `indices` as a
+    multiset (the split kernel and refit machinery already do)."""
     if aabbs is None:
         mins, maxs = shape_aabbs(scene)
     else:
@@ -54,6 +64,13 @@ def build_sah(scene=None, leaf_target: int = 64, *, aabbs=None,
     maxs = np.asarray(maxs, np.float32)
     centers = np.asarray(centers, np.float32)
     n = mins.shape[0]
+    ref_budget = [int(max(0.0, max_refs_factor - 1.0) * n)]
+
+    # reference arrays (grow under spatial splits; ref -> original id)
+    rid = np.arange(n, dtype=np.int64)
+    rmin = mins.copy()
+    rmax = maxs.copy()
+    rcen = centers.copy()
 
     nodes_bmin: list = []
     nodes_bmax: list = []
@@ -75,27 +92,21 @@ def build_sah(scene=None, leaf_target: int = 64, *, aabbs=None,
         nodes_right.append(-1)
         nodes_start.append(len(indices))
         nodes_count.append(len(idx))
-        node_shapes.append(np.asarray(idx, np.int32))
-        indices.extend(int(i) for i in idx)
+        node_shapes.append(rid[idx].astype(np.int32))
+        indices.extend(int(i) for i in rid[idx])
         return len(nodes_bmin) - 1
 
-    def build(idx, depth) -> int:
-        bmin = mins[idx].min(0)
-        bmax = maxs[idx].max(0)
-        nn = len(idx)
-        if nn <= leaf_target or depth >= max_depth:
-            return emit_leaf(idx, bmin, bmax)
-
-        best = None  # (cost, axis, bin_edge_mask)
-        cb_min = centers[idx].min(0)
-        cb_max = centers[idx].max(0)
+    def object_split(idx, nn):
+        """Best binned object split: (cost, lmask) or None."""
+        best = None
+        cb_min = rcen[idx].min(0)
+        cb_max = rcen[idx].max(0)
         for axis in range(3):
             span = cb_max[axis] - cb_min[axis]
             if span <= 0:
                 continue
-            rel = (centers[idx, axis] - cb_min[axis]) / span
+            rel = (rcen[idx, axis] - cb_min[axis]) / span
             b = np.minimum((rel * N_BINS).astype(np.int32), N_BINS - 1)
-            # bin AABBs + counts, then prefix sweeps
             cnt = np.zeros(N_BINS, np.int64)
             bmn = np.full((N_BINS, 3), np.inf, np.float32)
             bmx = np.full((N_BINS, 3), -np.inf, np.float32)
@@ -103,9 +114,8 @@ def build_sah(scene=None, leaf_target: int = 64, *, aabbs=None,
                 m = b == k
                 cnt[k] = m.sum()
                 if cnt[k]:
-                    bmn[k] = mins[idx][m].min(0)
-                    bmx[k] = maxs[idx][m].max(0)
-            # left/right prefix areas
+                    bmn[k] = rmin[idx][m].min(0)
+                    bmx[k] = rmax[idx][m].max(0)
             lcnt = np.cumsum(cnt)[:-1]
             rcnt = nn - lcnt
             la = np.empty(N_BINS - 1, np.float32)
@@ -131,24 +141,94 @@ def build_sah(scene=None, leaf_target: int = 64, *, aabbs=None,
             cost = np.where(valid, cost, np.inf)
             k = int(np.argmin(cost))
             if best is None or cost[k] < best[0]:
-                best = (float(cost[k]), axis, b <= k)
+                best = (float(cost[k]), b <= k)
+        return best
 
+    def spatial_split(idx, nn, bmin, bmax):
+        """Mid-plane spatial split on the largest axis with reference
+        duplication: (cost, lsel, rsel, lclamp, rclamp, n_dup) or None.
+        lsel/rsel index into idx; straddlers appear in both with their
+        box clamped to the respective side."""
+        axis = int(np.argmax(bmax - bmin))
+        plane = 0.5 * (bmin[axis] + bmax[axis])
+        lm = rmin[idx, axis] < plane
+        rm = rmax[idx, axis] > plane
+        lm |= ~rm   # degenerate boxes exactly on the plane -> left
+        n_dup = int((lm & rm).sum())
+        nl, nr = int(lm.sum()), int(rm.sum())
+        if nl == 0 or nr == 0 or nl == nn or nr == nn:
+            return None
+        if n_dup > ref_budget[0]:
+            return None
+        lmin = rmin[idx][lm].min(0)
+        lmax = rmax[idx][lm].max(0)
+        lmax = lmax.copy()
+        lmax[axis] = min(lmax[axis], plane)
+        rmn = rmin[idx][rm].min(0).copy()
+        rmn[axis] = max(rmn[axis], plane)
+        rmx = rmax[idx][rm].max(0)
+        cost = surf(lmin, lmax) * nl + surf(rmn, rmx) * nr
+        return (float(cost), lm, rm, (axis, plane), n_dup)
+
+    def build(idx, depth) -> int:
+        bmin = rmin[idx].min(0)
+        bmax = rmax[idx].max(0)
+        nn = len(idx)
+        if nn <= leaf_target or depth >= max_depth:
+            return emit_leaf(idx, bmin, bmax)
+
+        obj = object_split(idx, nn)
+        spa = spatial_split(idx, nn, bmin, bmax) if spatial else None
         sa_p = surf(bmin, bmax)
         leaf_cost = C_ISECT * nn * sa_p
-        if best is None or (C_TRAV * sa_p + C_ISECT * best[0]
-                            >= leaf_cost):
+        obj_cost = obj[0] if obj is not None else np.inf
+        spa_cost = spa[0] if spa is not None else np.inf
+        split_cost = min(obj_cost, spa_cost)
+        if (obj is None and spa is None) or \
+                C_TRAV * sa_p + C_ISECT * split_cost >= leaf_cost:
             return emit_leaf(idx, bmin, bmax)
-        _, axis, lmask = best
-        li = build(idx[lmask], depth + 1)
-        ri = build(idx[~lmask], depth + 1)
+
+        if spa is not None and spa_cost < obj_cost:
+            _, lm, rm, (axis, plane), n_dup = spa
+            ref_budget[0] -= n_dup
+            # left side: clamp straddlers' max to the plane
+            lidx = idx[lm]
+            straddle_l = lm & rm
+            # duplicate straddlers for the right side with clamped min
+            dup_src = idx[straddle_l]
+            new_ids = np.arange(len(dup_src)) + rid.shape[0]
+            _grow_refs(dup_src, axis, plane)
+            # clamp the LEFT copies' max in place
+            rmax[idx[straddle_l], axis] = np.minimum(
+                rmax[idx[straddle_l], axis], plane)
+            rcen[idx[straddle_l]] = 0.5 * (rmin[idx[straddle_l]]
+                                           + rmax[idx[straddle_l]])
+            ridx = np.concatenate([idx[rm & ~lm], new_ids])
+            li = build(lidx, depth + 1)
+            ri = build(ridx, depth + 1)
+        else:
+            _, lmask = obj
+            li = build(idx[lmask], depth + 1)
+            ri = build(idx[~lmask], depth + 1)
         nodes_bmin.append(bmin)
         nodes_bmax.append(bmax)
         nodes_left.append(li)
         nodes_right.append(ri)
         nodes_start.append(0)
         nodes_count.append(len(idx))
-        node_shapes.append(np.asarray(idx, np.int32))
+        node_shapes.append(rid[idx].astype(np.int32))
         return len(nodes_bmin) - 1
+
+    def _grow_refs(src, axis, plane):
+        """Append right-side clamped copies of refs `src`."""
+        nonlocal rid, rmin, rmax, rcen
+        nmin = rmin[src].copy()
+        nmin[:, axis] = np.maximum(nmin[:, axis], plane)
+        nmax = rmax[src].copy()
+        rid = np.concatenate([rid, rid[src]])
+        rmin = np.concatenate([rmin, nmin])
+        rmax = np.concatenate([rmax, nmax])
+        rcen = np.concatenate([rcen, 0.5 * (nmin + nmax)])
 
     build(np.arange(n, dtype=np.int64), 0)
     return BVH(

@@ -339,8 +339,11 @@ class SplitScene:
         self.leaf_count = lin.leaf_count
         self.skip = lin.skip
 
-        # triangle rows in DFS-leaf order
+        # triangle rows in DFS-leaf order. Spatial-split (SBVH) trees may
+        # DUPLICATE references: rows/gids then repeat and n_tri becomes
+        # the reference count (closest-min is idempotent to duplicates).
         perm = np.asarray(lin.perm)           # into tri subset
+        self.n_tri = int(perm.shape[0])
         gids = tri_ids[perm]                  # global shape ids
         p1 = np.asarray(scene.tri_p1)[gids]
         p2 = np.asarray(scene.tri_p2)[gids]
