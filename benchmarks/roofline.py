@@ -18,8 +18,12 @@ Method (offline, CPU):
    v5e VPU peak. Writes ROOFLINE.json at the repo root; bench.py
    attaches it to its JSON line when present.
 
-Usage: PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python benchmarks/roofline.py
+Usage (per scene; scene 1 writes ROOFLINE.json — the artifact bench.py
+attaches — scene N>1 writes ROOFLINE_s{N}.json):
+  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python benchmarks/roofline.py \
+      [--scene 1|2]
 """
+import argparse
 import json
 import os
 import sys
@@ -36,7 +40,7 @@ from raytracer_tpu.config import RenderConfig
 from raytracer_tpu.core import camera as cam_ops
 from raytracer_tpu.render import pallas_split, shading, wavefront, whitted
 from raytracer_tpu.render.pallas_bvh import _block_shape
-from raytracer_tpu.scenes import generate_scene1
+from raytracer_tpu.scenes import generate_scene
 from raytracer_tpu.geom.rowwise import pack_rows
 
 W, H, BOUNCES = 800, 600, 3
@@ -295,14 +299,19 @@ def _tri_tests_np(tri, rows, ox, oy, oz, dx, dy, dz, t_best):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", type=int, default=1, choices=[1, 2, 3])
+    args = ap.parse_args()
+    scene_id = args.scene
+
     cfg = RenderConfig(width=W, height=H, max_bounces=BOUNCES,
                        use_bvh=True, ray_chunk=W * H,
                        tile_h=TILE_H, tile_w=TILE_W)
-    sc = generate_scene1()
+    sc = generate_scene(scene_id, aspect=W / H)
     bvh = linearize(build_bvh(sc.flat, sc.bvh_max_depth))
     split = pallas_split.prepare(sc.flat, bvh)
 
-    cache = os.path.join("/tmp", f"walk_streams_s1_{W}x{H}.npz")
+    cache = os.path.join("/tmp", f"walk_streams_s{scene_id}_{W}x{H}.npz")
     if os.path.exists(cache):
         z = np.load(cache)
         n = int(z["n"])
@@ -351,11 +360,8 @@ def main():
                 + totals["live_tiles"] * ops_pre_tile)
     sol_ms = vreg_ops / VPU_VREG_OPS_PER_S * 1e3
 
-    bench_ms = None
-    bench_path = os.path.join(os.path.dirname(__file__), "..",
-                              "BENCH_r01.json")
     result = {
-        "scene": 1, "width": W, "height": H, "bounces": BOUNCES,
+        "scene": scene_id, "width": W, "height": H, "bounces": BOUNCES,
         "walks": per_walk,
         "totals": totals,
         "model": {
@@ -366,10 +372,20 @@ def main():
             "vpu_vreg_ops_per_s": VPU_VREG_OPS_PER_S,
         },
         "est_vreg_ops_per_frame": int(vreg_ops),
+        "op_share": {
+            "prepass": round(totals["live_tiles"] * ops_pre_tile
+                             / vreg_ops, 4),
+            "leaf_tests": round(totals["leaf_iters"] * ops_leaf
+                                / vreg_ops, 4),
+            "internal_slabs": round(totals["internal_iters"] * ops_internal
+                                    / vreg_ops, 4),
+        },
         "vpu_speed_of_light_ms_per_frame": round(sol_ms, 3),
         "vpu_speed_of_light_fps": round(1e3 / sol_ms, 1),
     }
-    out = os.path.join(os.path.dirname(__file__), "..", "ROOFLINE.json")
+    out = os.path.join(os.path.dirname(__file__), "..",
+                       "ROOFLINE.json" if scene_id == 1
+                       else f"ROOFLINE_s{scene_id}.json")
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps({k: v for k, v in result.items() if k != "walks"},

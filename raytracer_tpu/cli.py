@@ -18,41 +18,52 @@ import sys
 import time
 
 
+def _apply_material_spec(flat, spec: str):
+    """One material edit ``IDX:FIELD=V[,V,...]`` (e.g. ``0:color=1,0,0``)
+    applied functionally to a FlatScene — one ImGui material-editor
+    widget change (src/main.cpp:384-429)."""
+    import jax.numpy as jnp
+
+    head, _, kv = spec.partition(":")
+    idx = int(head)
+    key, _, val = kv.partition("=")
+    vals = [float(v) for v in val.split(",")]
+    field = {"color": "mat_color", "fresnel": "mat_fresnel",
+             "ambient": "mat_ambient", "diffuse": "mat_diffuse",
+             "specular": "mat_specular",
+             "shininess": "mat_shininess"}[key]
+    arr = getattr(flat, field)
+    new = jnp.asarray(vals if arr.ndim > 1 else vals[0], jnp.float32)
+    return flat.replace(**{field: arr.at[idx].set(new)})
+
+
+def _apply_light(light, pos=None, color=None, intensity=None):
+    """Light edits (ImGui light color/intensity/xyz sliders)."""
+    import numpy as np
+    from raytracer_tpu.core.types import Light
+
+    if pos is not None:
+        light = Light(np.asarray(pos, np.float32), light.base_color,
+                      light.intensity)
+    if color is not None:
+        light = Light(light.position, np.asarray(color, np.float32),
+                      light.intensity)
+    if intensity is not None:
+        light = Light(light.position, light.base_color, float(intensity))
+    return light
+
+
 def _apply_edits(sc, args):
     """Live-editing knobs from the reference's ImGui panel
     (src/main.cpp:384-429: material editor, light color/intensity/xyz) as
     CLI flags operating on the scene pytree."""
-    import jax.numpy as jnp
-    import numpy as np
-    from raytracer_tpu.core.types import Light
-
     flat = sc.flat
     for spec in args.material or []:
-        # idx:field=value[,value,...] e.g. 0:color=1,0,0 or 4:specular=0.8
-        head, _, kv = spec.partition(":")
-        idx = int(head)
-        key, _, val = kv.partition("=")
-        vals = [float(v) for v in val.split(",")]
-        field = {"color": "mat_color", "fresnel": "mat_fresnel",
-                 "ambient": "mat_ambient", "diffuse": "mat_diffuse",
-                 "specular": "mat_specular",
-                 "shininess": "mat_shininess"}[key]
-        arr = getattr(flat, field)
-        new = jnp.asarray(vals if arr.ndim > 1 else vals[0], jnp.float32)
-        flat = flat.replace(**{field: arr.at[idx].set(new)})
-    light = sc.light
-    if args.light_pos:
-        light = Light(np.asarray(args.light_pos, np.float32),
-                      light.base_color, light.intensity)
-    if args.light_color:
-        light = Light(light.position,
-                      np.asarray(args.light_color, np.float32),
-                      light.intensity)
-    if args.light_intensity is not None:
-        light = Light(light.position, light.base_color,
-                      float(args.light_intensity))
+        flat = _apply_material_spec(flat, spec)
     sc.flat = flat
-    sc.light = light
+    sc.light = _apply_light(sc.light, pos=args.light_pos,
+                            color=args.light_color,
+                            intensity=args.light_intensity)
     return sc
 
 
@@ -75,7 +86,8 @@ def _build(args):
     return cfg, sc, bvh
 
 
-def _render_frame(cfg, sc, flat, bvh, renderer: str, camera=None):
+def _render_frame(cfg, sc, flat, bvh, renderer: str, camera=None,
+                  split=None):
     cam = sc.camera if camera is None else camera
     if renderer == "wavefront" and bvh is not None:
         from raytracer_tpu.render import wavefront
@@ -91,7 +103,8 @@ def _render_frame(cfg, sc, flat, bvh, renderer: str, camera=None):
         return pallas_bvh.render(flat, bvh, cam, sc.light, cfg)
     if renderer == "pallas-split":
         from raytracer_tpu.render import pallas_split
-        return pallas_split.render(flat, bvh, cam, sc.light, cfg)
+        return pallas_split.render(flat, bvh, cam, sc.light, cfg,
+                                   split=split)
     from raytracer_tpu.render.reference import render
     return render(flat, cam, sc.light, cfg)
 
@@ -173,10 +186,15 @@ def cmd_play(args):
     scripted/stdin events instead of GLFW callbacks.
 
     Event lines (one per frame; '#' comments and blanks skipped):
-      key w [dt]      WASD/space/ctrl camera move (default dt 1/30 s)
-      mouse DX DY     mouse-look (pixels; reference sensitivity)
-      wait            render a frame with no input
-      quit            stop
+      key w [dt]            WASD/space/ctrl camera move (default dt 1/30 s)
+      mouse DX DY           mouse-look (pixels; reference sensitivity)
+      material IDX:K=V      live material edit (same syntax as --material;
+                            the ImGui editor mid-session, main.cpp:384-415)
+      light pos X Y Z       live light edits (main.cpp:417-429)
+      light color R G B
+      light intensity V
+      wait                  render a frame with no input
+      quit                  stop
 
     Each event renders one frame. Frames go to --out-dir when given
     (every --save-every'th), and per-frame stats are printed as JSON.
@@ -188,6 +206,12 @@ def cmd_play(args):
 
     cfg, sc, bvh = _build(args)
     cam = sc.camera
+    split = None
+    if args.renderer == "pallas-split":
+        # persistent prepared scene: live material edits refresh it via
+        # update_materials (rid regrouping) instead of a per-frame rebuild
+        from raytracer_tpu.render import pallas_split
+        split = pallas_split.prepare(sc.flat, bvh)
     stream = (sys.stdin if args.script == "-"
               else open(args.script, "r", encoding="utf-8"))
     if args.out_dir:
@@ -213,12 +237,25 @@ def cmd_play(args):
             elif parts[0] == "mouse":
                 cam = cam_ops.mouse_look(cam, float(parts[1]),
                                          float(parts[2]))
+            elif parts[0] == "material":
+                sc.flat = _apply_material_spec(sc.flat, parts[1])
+                if split is not None:
+                    from raytracer_tpu.render import pallas_split
+                    split = pallas_split.update_materials(split, sc.flat)
+            elif parts[0] == "light":
+                kind = parts[1]
+                vals = [float(v) for v in parts[2:]]
+                sc.light = _apply_light(
+                    sc.light,
+                    pos=vals if kind == "pos" else None,
+                    color=vals if kind == "color" else None,
+                    intensity=vals[0] if kind == "intensity" else None)
             elif parts[0] != "wait":
                 print(f"# unknown event {parts[0]!r}", file=sys.stderr)
                 continue
             img = jax.block_until_ready(
                 _render_frame(cfg, sc, sc.flat, bvh, args.renderer,
-                              camera=cam))
+                              camera=cam, split=split))
             timer.tick()
             if args.out_dir and frame % max(args.save_every, 1) == 0:
                 from raytracer_tpu.io import write_png

@@ -1899,6 +1899,11 @@ def update_pre_rows(split: SplitScene, scene: FlatScene) -> SplitScene:
     while degenerate walls keep their stored reference-tree box (their
     visibility IS that box, and they never move). Triangle rows and the
     triangle BVH are untouched. Pure jnp: call inside jit once per frame.
+
+    GEOMETRY-ONLY contract: the canonical resolve-id column (G_RID) is
+    carried forward unchanged — it is data-dependent grouping that
+    cannot be recomputed in-trace. If material VALUES changed since
+    prepare(), call ``update_materials`` (host-side) first.
     """
     from raytracer_tpu.core.scene import WALL
     from raytracer_tpu.geom.aabb import shape_aabbs_jnp
@@ -1945,7 +1950,10 @@ def update_tri_rows(split: SplitScene, scene: FlatScene) -> SplitScene:
 
     Preserves the stale-plane quirk: plane_normal/plane_d columns are
     whatever the scene carries (rotate_wheels leaves them stale by
-    default, exactly like serializeShape re-uploading the old plane)."""
+    default, exactly like serializeShape re-uploading the old plane).
+
+    GEOMETRY-ONLY contract: T_RID is carried forward — see
+    ``update_materials`` for material edits."""
     if split.n_tri == 0:
         return split
     gids = split.tri_gids
@@ -2009,6 +2017,56 @@ def update_dynamic(split: SplitScene, scene: FlatScene) -> SplitScene:
     """Full device-side refresh for arbitrary animations: pre-pass rows
     (moved non-triangles) + triangle rows with BVH refit."""
     return update_tri_rows(update_pre_rows(split, scene), scene)
+
+
+def update_materials(split: SplitScene, scene: FlatScene) -> SplitScene:
+    """Host-side refresh after MATERIAL edits (the ImGui live-editor
+    analogue — reference src/main.cpp:384-429 edits materials while the
+    scene runs): re-packs the material columns of both row tables AND
+    recomputes the canonical resolve-id grouping + ``rid_values``, which
+    ``prepare()`` froze from the original material 8-tuples. The traced
+    per-frame refreshers (``update_pre_rows``/``update_tri_rows``) are
+    geometry-only and deliberately carry the old RID columns forward —
+    the grouping is data-dependent (``np.unique``), so it cannot be
+    recomputed inside jit. Editing a material and skipping this call
+    would shade every shape of the stale group with the group
+    representative's material (the wholeframe kernel resolves
+    ``tab[rid]``). Host-only: requires concrete (non-traced) arrays.
+
+    ``rid_values`` is static kernel metadata, so a structural change to
+    the material grouping recompiles the wholeframe kernel — same cost
+    class as the reference re-uploading its SSBOs on edit."""
+    canon = _canonical_material_ids(scene)
+    mc = np.asarray(scene.mat_color)
+    ka = np.asarray(scene.mat_ambient)
+    kd = np.asarray(scene.mat_diffuse)
+    ks = np.asarray(scene.mat_specular)
+    kf = np.asarray(scene.mat_fresnel)
+    sh = np.asarray(scene.mat_shininess)
+    pre = np.asarray(split.pre_rows).copy()
+    if split.n_other:
+        oidx = np.asarray(split.other_idx)
+        pre[:split.n_other, G_MCR:G_MCR + 3] = mc[oidx]
+        pre[:split.n_other, G_MKA] = ka[oidx]
+        pre[:split.n_other, G_MKD] = kd[oidx]
+        pre[:split.n_other, G_MKS] = ks[oidx]
+        pre[:split.n_other, G_MKF] = kf[oidx]
+        pre[:split.n_other, G_MSH] = sh[oidx]
+        pre[:split.n_other, G_RID] = canon[oidx].astype(np.float32)
+    tri = np.asarray(split.tri_rows).copy()
+    if split.n_tri:
+        gids = np.asarray(split.tri_gids)
+        tri[:split.n_tri, T_MCR:T_MCR + 3] = mc[gids]
+        tri[:split.n_tri, T_MKA] = ka[gids]
+        tri[:split.n_tri, T_MKD] = kd[gids]
+        tri[:split.n_tri, T_MKS] = ks[gids]
+        tri[:split.n_tri, T_MKF] = kf[gids]
+        tri[:split.n_tri, T_MSH] = sh[gids]
+        tri[:split.n_tri, T_RID] = canon[gids].astype(np.float32)
+    new = split.replace_leaves(pre_rows=jnp.asarray(pre),
+                               tri_rows=jnp.asarray(tri))
+    new.rid_values = tuple(int(v) for v in np.unique(canon))
+    return new
 
 
 # Which builder shapes the triangle-only tree: "median" (reference-
