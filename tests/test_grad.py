@@ -76,6 +76,90 @@ def test_kernel_grads_match_oracle(field):
     np.testing.assert_allclose(g_k, g_o, rtol=1e-3, atol=1e-5)
 
 
+def _recompute_planes(s):
+    """Differentiable plane refresh from triangle vertices — the trace of
+    the reference Triangle ctor (src/shapes/triangle.hpp:84-130: normal =
+    normalize(cross(p2-p1, p3-p1)), d = -n.p1) so a vertex perturbation
+    moves the WHOLE triangle geometry consistently, as an inverse-
+    rendering fit would. NaN-safe for non-triangle rows (zero vertices)."""
+    from raytracer_tpu.core.scene import TRIANGLE
+    e1 = s.tri_p2 - s.tri_p1
+    e2 = s.tri_p3 - s.tri_p1
+    n = jnp.cross(e1, e2)
+    norm2 = jnp.sum(n * n, axis=-1, keepdims=True)
+    nn = n * jax.lax.rsqrt(jnp.where(norm2 > 0, norm2, 1.0))
+    is_tri = (s.shape_type == TRIANGLE)
+    pn = jnp.where(is_tri[:, None], nn, s.plane_normal)
+    pd = jnp.where(is_tri, -jnp.sum(pn * s.tri_p1, -1), s.plane_d)
+    return s.replace(plane_normal=pn, plane_d=pd)
+
+
+def _tri_scene():
+    """Like _scene() but with the triangle WOUND to face the camera
+    (plane INNER needs n.dir > 0, plane.hpp:51 — _scene()'s triangle has
+    normal +z against -z rays and is never hittable, so vertex grads
+    through it are trivially zero)."""
+    b = SceneBuilder()
+    b.add_sphere((0, 0, -5), 1.2, Material(color=(0.9, 0.3, 0.2), fresnel=0,
+                 ambient=0.2, diffuse=0.8, specular=0.4))
+    b.add_sphere((1.5, 0.8, -7), 0.8, Material(color=(0.2, 0.8, 0.3)))
+    b.add_triangle((-3, -1, -6), (-2, 1, -6), (-1, -1, -6),
+                   Material(color=(0.8, 0.7, 0.2), specular=0.3))
+    scene = b.build()
+    cam = cam_ops.from_euler(position=(0, 0, 0), fov_deg=60,
+                             aspect=CFG.width / CFG.height)
+    light = Light((0, 3, 0), (1, 1, 1), 6.0)
+    return scene, cam, light
+
+
+@pytest.mark.parametrize("field", ["tri_p1", "tri_p2", "tri_p3"])
+def test_kernel_tri_vertex_grads_match_oracle(field):
+    """Triangle-VERTEX gradients (SURVEY §7.6 names them as targets;
+    VERDICT r2 item 5): kernel path vs oracle autodiff, with the plane
+    re-derived from the perturbed vertices on both sides."""
+    scene, cam, light = _tri_scene()
+    bvh = linearize(build_bvh(scene, 4))
+    cfg = CFG.replace(use_bvh=True)
+    split = pallas_split.prepare(scene, bvh)
+    from raytracer_tpu.accel.linearize import shape_leaf_boxes
+    lb = shape_leaf_boxes(bvh, scene.num_shapes)
+
+    def loss_oracle(v):
+        s = _recompute_planes(scene.replace(**{field: v}))
+        return jnp.sum(render_ref(s, cam, light, cfg, leaf_boxes=lb))
+
+    def loss_kernel(v):
+        s = _recompute_planes(scene.replace(**{field: v}))
+        return jnp.sum(pallas_split.render(s, bvh, cam, light, cfg,
+                                           split=split,
+                                           differentiable=True))
+
+    v0 = getattr(scene, field)
+    g_o = np.asarray(jax.grad(loss_oracle)(v0))
+    g_k = np.asarray(jax.grad(loss_kernel)(v0))
+    assert np.isfinite(g_k).all()
+    # the triangle row carries nonzero signal
+    assert np.abs(g_k[2]).max() > 0
+    np.testing.assert_allclose(g_k, g_o, rtol=1e-3, atol=1e-5)
+
+
+def test_tri_vertex_grad_matches_finite_differences():
+    """Anchor the vertex gradient to finite differences (not just the two
+    autodiff paths agreeing with each other)."""
+    scene, cam, light = _tri_scene()
+
+    def loss(x):
+        p1 = scene.tri_p1.at[2, 0].set(x)
+        s = _recompute_planes(scene.replace(tri_p1=p1))
+        return jnp.sum(render_ref(s, cam, light, CFG))
+
+    x0 = jnp.float32(scene.tri_p1[2, 0])
+    g = float(jax.grad(loss)(x0))
+    eps = 1e-3
+    fd = (float(loss(x0 + eps)) - float(loss(x0 - eps))) / (2 * eps)
+    assert np.isclose(g, fd, rtol=0.05), (g, fd)
+
+
 def test_light_and_camera_grads_match_oracle():
     """Kernel-path camera/light gradients equal oracle autodiff gradients
     (not just finite — VERDICT r1 item 9)."""
