@@ -41,19 +41,19 @@ C_ISECT = 1.0
 
 
 def build_sah(scene=None, leaf_target: int = 64, *, aabbs=None,
-              centers=None, max_depth: int = 32,
-              spatial: bool = False, max_refs_factor: float = 2.0) -> BVH:
+              centers=None, max_depth: int = 32) -> BVH:
     """Build a binned-SAH BVH over the scene's shapes (or explicit
     aabbs/centers). Returns the root-last BVH container.
 
-    spatial=True additionally considers a mid-plane SPATIAL split at
-    each node (SBVH-lite): references straddling the plane go to BOTH
-    children with their boxes clamped to each side. Exactness is kept —
-    the clamped boxes partition the primitive's AABB, so any hit point
-    lies inside some copy's leaf box and the closest-hit min is
-    idempotent to duplicate tests. Duplication is capped at
-    max_refs_factor * N references. Consumers must treat `indices` as a
-    multiset (the split kernel and refit machinery already do)."""
+    SBVH-lite spatial splits were REMOVED after losing their final eval
+    (VERDICT r2 weak #5 — win on scene 2's overlapping car-body tris or
+    delete): the benchmarks/tree_eval.py census over the recorded
+    production scene-2 streams measured spatial reference duplication
+    STRICTLY WORSE at every leaf size (sbvh96x2: 7.44M modeled vreg-ops
+    vs sah96 7.26M; sbvh64x2 7.15M vs sah64 7.04M; TREE_EVAL_s2.json) —
+    duplicated references add leaf rows faster than tighter child boxes
+    remove visits under 2048-lane packet-union traversal, whose node
+    probes prune far less than per-ray traversal would."""
     if aabbs is None:
         mins, maxs = shape_aabbs(scene)
     else:
@@ -64,9 +64,8 @@ def build_sah(scene=None, leaf_target: int = 64, *, aabbs=None,
     maxs = np.asarray(maxs, np.float32)
     centers = np.asarray(centers, np.float32)
     n = mins.shape[0]
-    ref_budget = [int(max(0.0, max_refs_factor - 1.0) * n)]
 
-    # reference arrays (grow under spatial splits; ref -> original id)
+    # reference arrays (ref -> original id)
     rid = np.arange(n, dtype=np.int64)
     rmin = mins.copy()
     rmax = maxs.copy()
@@ -144,32 +143,6 @@ def build_sah(scene=None, leaf_target: int = 64, *, aabbs=None,
                 best = (float(cost[k]), b <= k)
         return best
 
-    def spatial_split(idx, nn, bmin, bmax):
-        """Mid-plane spatial split on the largest axis with reference
-        duplication: (cost, lsel, rsel, lclamp, rclamp, n_dup) or None.
-        lsel/rsel index into idx; straddlers appear in both with their
-        box clamped to the respective side."""
-        axis = int(np.argmax(bmax - bmin))
-        plane = 0.5 * (bmin[axis] + bmax[axis])
-        lm = rmin[idx, axis] < plane
-        rm = rmax[idx, axis] > plane
-        lm |= ~rm   # degenerate boxes exactly on the plane -> left
-        n_dup = int((lm & rm).sum())
-        nl, nr = int(lm.sum()), int(rm.sum())
-        if nl == 0 or nr == 0 or nl == nn or nr == nn:
-            return None
-        if n_dup > ref_budget[0]:
-            return None
-        lmin = rmin[idx][lm].min(0)
-        lmax = rmax[idx][lm].max(0)
-        lmax = lmax.copy()
-        lmax[axis] = min(lmax[axis], plane)
-        rmn = rmin[idx][rm].min(0).copy()
-        rmn[axis] = max(rmn[axis], plane)
-        rmx = rmax[idx][rm].max(0)
-        cost = surf(lmin, lmax) * nl + surf(rmn, rmx) * nr
-        return (float(cost), lm, rm, (axis, plane), n_dup)
-
     def build(idx, depth) -> int:
         bmin = rmin[idx].min(0)
         bmax = rmax[idx].max(0)
@@ -178,38 +151,14 @@ def build_sah(scene=None, leaf_target: int = 64, *, aabbs=None,
             return emit_leaf(idx, bmin, bmax)
 
         obj = object_split(idx, nn)
-        spa = spatial_split(idx, nn, bmin, bmax) if spatial else None
         sa_p = surf(bmin, bmax)
         leaf_cost = C_ISECT * nn * sa_p
-        obj_cost = obj[0] if obj is not None else np.inf
-        spa_cost = spa[0] if spa is not None else np.inf
-        split_cost = min(obj_cost, spa_cost)
-        if (obj is None and spa is None) or \
-                C_TRAV * sa_p + C_ISECT * split_cost >= leaf_cost:
+        if obj is None or C_TRAV * sa_p + C_ISECT * obj[0] >= leaf_cost:
             return emit_leaf(idx, bmin, bmax)
 
-        if spa is not None and spa_cost < obj_cost:
-            _, lm, rm, (axis, plane), n_dup = spa
-            ref_budget[0] -= n_dup
-            # left side: clamp straddlers' max to the plane
-            lidx = idx[lm]
-            straddle_l = lm & rm
-            # duplicate straddlers for the right side with clamped min
-            dup_src = idx[straddle_l]
-            new_ids = np.arange(len(dup_src)) + rid.shape[0]
-            _grow_refs(dup_src, axis, plane)
-            # clamp the LEFT copies' max in place
-            rmax[idx[straddle_l], axis] = np.minimum(
-                rmax[idx[straddle_l], axis], plane)
-            rcen[idx[straddle_l]] = 0.5 * (rmin[idx[straddle_l]]
-                                           + rmax[idx[straddle_l]])
-            ridx = np.concatenate([idx[rm & ~lm], new_ids])
-            li = build(lidx, depth + 1)
-            ri = build(ridx, depth + 1)
-        else:
-            _, lmask = obj
-            li = build(idx[lmask], depth + 1)
-            ri = build(idx[~lmask], depth + 1)
+        _, lmask = obj
+        li = build(idx[lmask], depth + 1)
+        ri = build(idx[~lmask], depth + 1)
         nodes_bmin.append(bmin)
         nodes_bmax.append(bmax)
         nodes_left.append(li)
@@ -218,17 +167,6 @@ def build_sah(scene=None, leaf_target: int = 64, *, aabbs=None,
         nodes_count.append(len(idx))
         node_shapes.append(rid[idx].astype(np.int32))
         return len(nodes_bmin) - 1
-
-    def _grow_refs(src, axis, plane):
-        """Append right-side clamped copies of refs `src`."""
-        nonlocal rid, rmin, rmax, rcen
-        nmin = rmin[src].copy()
-        nmin[:, axis] = np.maximum(nmin[:, axis], plane)
-        nmax = rmax[src].copy()
-        rid = np.concatenate([rid, rid[src]])
-        rmin = np.concatenate([rmin, nmin])
-        rmax = np.concatenate([rmax, nmax])
-        rcen = np.concatenate([rcen, 0.5 * (nmin + nmax)])
 
     build(np.arange(n, dtype=np.int64), 0)
     return BVH(

@@ -206,7 +206,7 @@ G_RID = 39
 PRE_W = 40
 
 # triangle row layout (lean): n, pd, e1, e2, p1, p1e1, p1e2, r11, r01, r00,
-# gid, material, rid
+# gid, material, rid, + Gram-fused constants (see USE_GRAM_TRI)
 T_NX, T_NY, T_NZ, T_PD = 0, 1, 2, 3
 T_E1X, T_E1Y, T_E1Z = 4, 5, 6
 T_E2X, T_E2Y, T_E2Z = 7, 8, 9
@@ -216,7 +216,19 @@ T_GID = 18
 T_MCR, T_MCG, T_MCB = 19, 20, 21
 T_MKA, T_MKD, T_MKS, T_MKF, T_MSH = 22, 23, 24, 25, 26
 T_RID = 27
-TRI_W = 28
+# Ev = r11*e1 - r01*e2, cv = r11*s0 - r01*s1 (w-symmetric): barycentric
+# v = (o.Ev - cv) + t*(d.Ev) without forming the hit point — 12 scalar
+# loads vs 15 and ~4 fewer vector ops per test. Same accept set in exact
+# arithmetic (f32-reassociated). v5e brute-mix A/B (benchmarks/ilp_ab.py
+# gram32 vs tree32): 8.98 vs 10.07 ms (-10.8%).
+T_EVX, T_EVY, T_EVZ, T_CV = 28, 29, 30, 31
+T_EWX, T_EWY, T_EWZ, T_CW = 32, 33, 34, 35
+TRI_W = 36
+
+# Use the Gram-fused barycentric test in the kernels (the raw-column
+# test stays switchable for bit-exact parity pins against the oracle's
+# hit-point formulation — tests/test_pallas_bvh.py).
+USE_GRAM_TRI = True
 
 # rid = the canonical resolve id: min gid over shapes with an IDENTICAL
 # material 8-tuple, computed at prepare() time. The wholeframe kernel's
@@ -339,9 +351,10 @@ class SplitScene:
         self.leaf_count = lin.leaf_count
         self.skip = lin.skip
 
-        # triangle rows in DFS-leaf order. Spatial-split (SBVH) trees may
-        # DUPLICATE references: rows/gids then repeat and n_tri becomes
-        # the reference count (closest-min is idempotent to duplicates).
+        # triangle rows in DFS-leaf order. perm is treated as a multiset
+        # (duplicate references would be exact — closest-min idempotent —
+        # though no current builder emits them; SBVH was measured worse
+        # and deleted, see accel/sah.py).
         perm = np.asarray(lin.perm)           # into tri subset
         self.n_tri = int(perm.shape[0])
         gids = tri_ids[perm]                  # global shape ids
@@ -365,11 +378,28 @@ class SplitScene:
             tri[:, T_E1X:T_E1X + 3] = e1
             tri[:, T_E2X:T_E2X + 3] = e2
             tri[:, T_P1X:T_P1X + 3] = p1
-            tri[:, T_S0] = (p1 * e1).sum(-1)
-            tri[:, T_S1] = (p1 * e2).sum(-1)
-            tri[:, T_R11] = np.where(z, 0.0, d11 / safe)
-            tri[:, T_R01] = np.where(z, 0.0, d01 / safe)
-            tri[:, T_R00] = np.where(z, 0.0, d00 / safe)
+            s0 = (p1 * e1).sum(-1)
+            s1 = (p1 * e2).sum(-1)
+            r11 = np.where(z, 0.0, d11 / safe)
+            r01 = np.where(z, 0.0, d01 / safe)
+            r00 = np.where(z, 0.0, d00 / safe)
+            tri[:, T_S0] = s0
+            tri[:, T_S1] = s1
+            tri[:, T_R11] = r11
+            tri[:, T_R01] = r01
+            tri[:, T_R00] = r00
+            # Gram-fused constants (f32 inputs: match update_tri_rows'
+            # on-device recompute bit-for-bit)
+            r11f, r01f, r00f = (x.astype(np.float32)
+                                for x in (r11, r01, r00))
+            s0f, s1f = s0.astype(np.float32), s1.astype(np.float32)
+            e1f, e2f = e1.astype(np.float32), e2.astype(np.float32)
+            tri[:, T_EVX:T_EVX + 3] = (r11f[:, None] * e1f
+                                       - r01f[:, None] * e2f)
+            tri[:, T_CV] = r11f * s0f - r01f * s1f
+            tri[:, T_EWX:T_EWX + 3] = (r00f[:, None] * e2f
+                                       - r01f[:, None] * e1f)
+            tri[:, T_CW] = r00f * s1f - r01f * s0f
             tri[:, T_GID] = gids.astype(np.float32)
             tri[:, T_MCR:T_MCR + 3] = np.asarray(scene.mat_color)[gids]
             tri[:, T_MKA] = np.asarray(scene.mat_ambient)[gids]
@@ -555,6 +585,23 @@ def _tri_test(tri_ref, i, ox, oy, oz, dx, dy, dz, use_mt):
     o_n = ox * nx + oy * ny + oz * nz
     t = -(tri_ref[i, T_PD] + o_n) / jnp.where(d_n == 0, 1.0, d_n)
     inner = (d_n > 0) & (t > 0)
+    if USE_GRAM_TRI:
+        # v = (o + t d).Ev - cv without forming the hit point (t is
+        # always finite — the divide is guarded — so no tw masking).
+        # Degenerate triangles (Gram denom 0) keep the raw path's quirk:
+        # Ev = Ew = cv = cw = 0 -> v = w = 0, accept == plane INNER.
+        d_ev = (dx * tri_ref[i, T_EVX] + dy * tri_ref[i, T_EVY]
+                + dz * tri_ref[i, T_EVZ])
+        o_ev = (ox * tri_ref[i, T_EVX] + oy * tri_ref[i, T_EVY]
+                + oz * tri_ref[i, T_EVZ] - tri_ref[i, T_CV])
+        v = o_ev + t * d_ev
+        d_ew = (dx * tri_ref[i, T_EWX] + dy * tri_ref[i, T_EWY]
+                + dz * tri_ref[i, T_EWZ])
+        o_ew = (ox * tri_ref[i, T_EWX] + oy * tri_ref[i, T_EWY]
+                + oz * tri_ref[i, T_EWZ] - tri_ref[i, T_CW])
+        w = o_ew + t * d_ew
+        inner = inner & (v >= 0) & (w >= 0) & ((v + w) <= 1.0)
+        return t, inner
     tw = jnp.where(inner, t, 0.0)
     hx = ox + tw * dx
     hy = oy + tw * dy
@@ -1970,14 +2017,16 @@ def update_tri_rows(split: SplitScene, scene: FlatScene) -> SplitScene:
     denom = d00 * d11 - d01 * d01
     z = denom == 0
     safe = jnp.where(z, 1.0, denom)
+    s0 = jnp.sum(p1 * e1, -1)
+    s1 = jnp.sum(p1 * e2, -1)
+    r11 = jnp.where(z, 0.0, d11 / safe)
+    r01 = jnp.where(z, 0.0, d01 / safe)
+    r00 = jnp.where(z, 0.0, d00 / safe)
     tri = jnp.concatenate([
         n, pd[:, None],
         e1, e2, p1,
-        jnp.sum(p1 * e1, -1)[:, None],
-        jnp.sum(p1 * e2, -1)[:, None],
-        jnp.where(z, 0.0, d11 / safe)[:, None],
-        jnp.where(z, 0.0, d01 / safe)[:, None],
-        jnp.where(z, 0.0, d00 / safe)[:, None],
+        s0[:, None], s1[:, None],
+        r11[:, None], r01[:, None], r00[:, None],
         gids.astype(jnp.float32)[:, None],
         jnp.take(scene.mat_color, gids, axis=0),
         jnp.take(scene.mat_ambient, gids)[:, None],
@@ -1986,6 +2035,11 @@ def update_tri_rows(split: SplitScene, scene: FlatScene) -> SplitScene:
         jnp.take(scene.mat_fresnel, gids)[:, None],
         jnp.take(scene.mat_shininess, gids)[:, None],
         split.tri_rows[:split.n_tri, T_RID:T_RID + 1],
+        # Gram-fused constants (USE_GRAM_TRI; same f32 ops as prepare())
+        r11[:, None] * e1 - r01[:, None] * e2,
+        (r11 * s0 - r01 * s1)[:, None],
+        r00[:, None] * e2 - r01[:, None] * e1,
+        (r00 * s1 - r01 * s0)[:, None],
     ], axis=1)
     pad = split.tri_rows.shape[0] - split.n_tri
     if pad:

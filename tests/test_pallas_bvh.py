@@ -88,7 +88,26 @@ def test_scene3_kernels(scene1):
                                         CFG))
     img_p = np.asarray(pallas_bvh.render(sc.flat, lin, sc.camera, sc.light,
                                          CFG))
+    np.testing.assert_allclose(img_p, img_w, atol=2e-5)
+
+    # The production Gram-fused test: identical accept set except f32
+    # sign flips ON triangle edges — allow isolated edge pixels only...
     img_s = np.asarray(pallas_split.render(sc.flat, lin, sc.camera,
                                            sc.light, CFG))
-    np.testing.assert_allclose(img_p, img_w, atol=2e-5)
-    np.testing.assert_allclose(img_s, img_w, atol=2e-5)
+    bad = np.abs(img_s - img_w).max(-1) > 2e-5
+    assert bad.sum() <= 4, f"{bad.sum()} pixels differ (edge flips only)"
+
+    # ...and a STRICT pin on the raw-column test, which shares the
+    # oracle's hit-point reassociation (ADVICE r2: keep one bit-tight
+    # config). USE_GRAM_TRI is invisible to the jit cache key, so the
+    # cache must be cleared around the flip.
+    old = pallas_split.USE_GRAM_TRI
+    pallas_split._render_impl.clear_cache()
+    try:
+        pallas_split.USE_GRAM_TRI = False
+        img_raw = np.asarray(pallas_split.render(
+            sc.flat, lin, sc.camera, sc.light, CFG))
+    finally:
+        pallas_split.USE_GRAM_TRI = old
+        pallas_split._render_impl.clear_cache()
+    np.testing.assert_allclose(img_raw, img_w, atol=2e-5)

@@ -59,37 +59,6 @@ def test_sah_structure(scene1):
         assert (t.bounds_max[i] >= maxs[ids] - 1e-6).all()
 
 
-def test_sbvh_spatial_duplication_parity(scene1):
-    """spatial=True may DUPLICATE references (clamped boxes partition
-    the primitive AABB, so duplicates are exact). Pin: every original id
-    still covered, duplicates allowed, and the split render matches."""
-    sc, lin = scene1
-    st = np.asarray(sc.flat.shape_type)
-    tri_ids = np.nonzero(st == TRIANGLE)[0].astype(np.int32)
-    mins, maxs = shape_aabbs(sc.flat)
-    centers = shape_centers(sc.flat)
-    t = build_sah(aabbs=(mins[tri_ids], maxs[tri_ids]),
-                  centers=centers[tri_ids], leaf_target=16, spatial=True)
-    l = linearize(t)
-    assert set(np.asarray(l.perm).tolist()) == set(range(len(tri_ids)))
-
-    import raytracer_tpu.accel.sah as sah_mod
-    orig = sah_mod.build_sah
-    sah_mod.build_sah = lambda *a, **k: orig(*a, **{**k, "spatial": True})
-    try:
-        split = pallas_split.prepare(sc.flat, lin, tri_builder="sah")
-    finally:
-        sah_mod.build_sah = orig
-    cfg = RenderConfig(width=32, height=24, max_bounces=3, use_bvh=True,
-                       ray_chunk=768, tile_h=8, tile_w=128)
-    img_m = np.asarray(pallas_split.render(
-        sc.flat, lin, sc.camera, sc.light, cfg,
-        split=pallas_split.prepare(sc.flat, lin, tri_builder="median")))
-    img_s = np.asarray(pallas_split.render(
-        sc.flat, lin, sc.camera, sc.light, cfg, split=split))
-    np.testing.assert_allclose(img_s, img_m, atol=1e-6)
-
-
 def test_sah_render_matches_median(scene1):
     sc, lin = scene1
     cfg = RenderConfig(width=32, height=24, max_bounces=3, use_bvh=True,
