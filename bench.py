@@ -74,6 +74,11 @@ def _run_candidate(name: str):
                        ray_chunk=480000, tile_h=16, tile_w=128)
     if name in ("scene2_split", "scene1_anim", "scene2_anim"):
         scene_id = 2 if name.startswith("scene2") else 1
+        if name == "scene2_split":
+            # scene 2's divergent bounce waves dominate (census: 88% of
+            # leaf tests); the sorted-continuation hybrid is bit-exact
+            # and measured 66 vs 56 FPS vs the plain wholeframe kernel
+            cfg = cfg.replace(sort_bounces=True)
         sc = generate_scene(scene_id, aspect=800 / 600)
         bvh = linearize(build_bvh(sc.flat, sc.bvh_max_depth))
         if name == "scene2_split":

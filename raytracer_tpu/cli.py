@@ -76,7 +76,8 @@ def _build(args):
     cfg = RenderConfig(width=args.width, height=args.height,
                        max_bounces=args.bounces, use_bvh=not args.no_bvh,
                        use_fresnel=args.fresnel, use_mt=args.mt,
-                       ray_chunk=args.ray_chunk)
+                       ray_chunk=args.ray_chunk,
+                       sort_bounces=args.sort_bounces)
     sc = generate_scene(args.scene, aspect=args.width / args.height,
                         seed=args.seed)
     sc = _apply_edits(sc, args)
@@ -303,6 +304,10 @@ def main(argv=None):
         sp.add_argument("--fresnel", action="store_true")
         sp.add_argument("--mt", action="store_true",
                         help="Moller-Trumbore triangle test")
+        sp.add_argument("--sort-bounces", action="store_true",
+                        help="re-sort bounce rays into coherent packets "
+                             "between bounces (bit-exact; wins on "
+                             "divergence-heavy scenes like scene 2)")
         sp.add_argument("--seed", type=int, default=0)
         sp.add_argument("--ray-chunk", type=int, default=8192)
         sp.add_argument("--renderer", default="wavefront",

@@ -1,4 +1,5 @@
 from raytracer_tpu.diff.inverse import (image_loss, fit_scene_params,
-                                        make_loss_fn)
+                                        make_kernel_renderer, make_loss_fn)
 
-__all__ = ["image_loss", "fit_scene_params", "make_loss_fn"]
+__all__ = ["image_loss", "fit_scene_params", "make_kernel_renderer",
+           "make_loss_fn"]

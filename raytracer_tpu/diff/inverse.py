@@ -34,21 +34,50 @@ def image_loss(img: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 def make_loss_fn(scene: FlatScene, camera: Camera, light: Light,
                  cfg: RenderConfig, target: jnp.ndarray,
-                 param_fields: Iterable[str]) -> Callable:
+                 param_fields: Iterable[str],
+                 renderer: Optional[Callable] = None) -> Callable:
     """Build loss(params) where params is a dict {field: array} of FlatScene
     fields (e.g. sphere_center, mat_color) being optimized; all other scene
-    fields are closed over as constants."""
+    fields are closed over as constants.
+
+    ``renderer(scene, camera, light, cfg) -> image`` selects the render
+    path (default: the pure-XLA oracle). Pass ``make_kernel_renderer``'s
+    result to optimize THROUGH the production Pallas kernel."""
     fields = tuple(param_fields)
+    render_fn = renderer if renderer is not None else render_ref
 
     def loss(params: Dict[str, jnp.ndarray],
              light_params: Optional[Light] = None) -> jnp.ndarray:
         s = scene.replace(**params)
         lt = light_params if light_params is not None else light
-        img = render_ref(s, camera, lt, cfg)
+        img = render_fn(s, camera, lt, cfg)
         return image_loss(img, target)
 
     loss.param_fields = fields
     return loss
+
+
+def make_kernel_renderer(bvh, split0) -> Callable:
+    """Renderer closure for optimizing through the PRODUCTION split
+    kernel: every evaluation REFRESHES the prepared tables from the
+    current (optimized) scene on device (update_dynamic: pre rows for
+    moved spheres/walls + triangle rows with BVH refit), so hit
+    decisions track the moving geometry across optimization steps — the
+    moving-sphere analogue of the reference's per-frame updateScene +
+    updateBVH (src/main.cpp:336-346, 981-992, 1068-1077).
+
+    The refreshed tables are stop-gradiented: the kernel only DECIDES
+    hits (discrete); gradients flow through the differentiable
+    re-derivation (diff/kernel_vjp) against the live scene arrays."""
+    from raytracer_tpu.render import pallas_split
+
+    def render(s: FlatScene, camera, light, cfg) -> jnp.ndarray:
+        sp = pallas_split.update_dynamic(split0, s)
+        sp = jax.tree_util.tree_map(jax.lax.stop_gradient, sp)
+        return pallas_split.render(s, bvh, camera, light, cfg, split=sp,
+                                   differentiable=True)
+
+    return render
 
 
 @partial(jax.jit, static_argnames=("loss_fn", "lr"))
@@ -63,14 +92,18 @@ def fit_scene_params(scene: FlatScene, camera: Camera, light: Light,
                      cfg: RenderConfig, target: jnp.ndarray,
                      init_params: Dict[str, jnp.ndarray],
                      steps: int = 100, lr: float = 0.05,
-                     optimizer=None) -> Tuple[Dict[str, jnp.ndarray], list]:
+                     optimizer=None,
+                     renderer: Optional[Callable] = None,
+                     ) -> Tuple[Dict[str, jnp.ndarray], list]:
     """Gradient-descent fit of the given FlatScene fields to ``target``.
 
     With ``optimizer`` (an optax GradientTransformation) uses that;
-    otherwise plain SGD. Returns (fitted params, loss history).
+    otherwise plain SGD. ``renderer`` selects the render path (see
+    make_loss_fn; pass make_kernel_renderer(...) for the production
+    kernel). Returns (fitted params, loss history).
     """
     loss_fn = make_loss_fn(scene, camera, light, cfg, target,
-                           init_params.keys())
+                           init_params.keys(), renderer=renderer)
     params = dict(init_params)
     history = []
 

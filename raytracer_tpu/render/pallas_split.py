@@ -1279,19 +1279,34 @@ _TAB_MAT_COLS = (3, 4, 5, 6, 7, 8, 9, 10)  # color rgb, ka, kd, ks, kf, shin
 def _wholeframe_kernel(leaf_start_ref, leaf_count_ref, skip_ref,
                        nodes_ref, pre_ref, tri_ref, tab_ref, par_ref,
                        rays_ref, accr_ref, accg_ref, accb_ref,
-                       *scratch,
+                       *extra,
                        m, n_other, n_sph, use_mt, bounces, shadow_eps,
                        reflect_eps, use_fresnel, enable_shadows,
-                       unroll=1, rid_values=None, raygen=None):
+                       unroll=1, rid_values=None, raygen=None,
+                       emit_state=False, consume_state=False):
     """One tile's full Whitted trace (whitted.trace, bounce-unrolled).
     rays rows: o(3), d(3), bg(3). par (1, 24): light pos(3) + color(3)
     [+ camera pos/front/right/up (12), half_w, half_h when raygen].
-    scratch: 8 (th, tw) VMEM accumulators for the resolved material
-    columns. Shading math mirrors whitted.trace/shading.phong term by
-    term (gpu_shader.comp:331-361, 433-517). With raygen=(W, H, th, tw,
+    extra = optional state out-refs (see below) then 8 (th, tw) VMEM
+    scratch accumulators for the resolved material columns. Shading math
+    mirrors whitted.trace/shading.phong term by term
+    (gpu_shader.comp:331-361, 433-517). With raygen=(W, H, th, tw,
     n_bw), rays_ref is None and primary rays + background are generated
     from the tile's pixel iota (core/camera.get_rays + pixel_ndc +
-    shading.background, mirrored term by term)."""
+    shading.background, mirrored term by term).
+
+    HYBRID SORTED-CONTINUATION mode (cfg.sort_bounces — see
+    _render_impl): the frame is split at the first bounce boundary so
+    the divergent continuation rays can be re-packed into coherent
+    tiles by an XLA payload sort between two launches.
+    - emit_state: after the ``bounces`` loop, ALSO write the
+      continuation state o(3), d(3), atten(3) to 9 extra out-refs.
+    - consume_state: rays rows are o(3), d(3), atten(3), bg(3) — the
+      per-pixel background rides the payload sort so misses composite
+      in-kernel exactly like the normal path."""
+    n_state = 9 if emit_state else 0
+    state_refs = extra[:n_state]
+    scratch = extra[n_state:]
     lx = par_ref[0, 0]
     ly = par_ref[0, 1]
     lz = par_ref[0, 2]
@@ -1370,7 +1385,14 @@ def _wholeframe_kernel(leaf_start_ref, leaf_count_ref, skip_ref,
     zero = jnp.zeros_like(ox)
     one = jnp.ones_like(ox)
     accr = accg = accb = zero
-    atr = atg = atb = one
+    if consume_state:
+        # continuation: rows 6-8 were attenuation, rows 9-11 the bg
+        atr, atg, atb = bgr, bgg, bgb
+        bgr = rays_ref[9, 0]
+        bgg = rays_ref[10, 0]
+        bgb = rays_ref[11, 0]
+    else:
+        atr = atg = atb = one
     alive = ox < 1e30  # primary rays are live unless padding-parked
 
     closest = functools.partial(
@@ -1521,20 +1543,39 @@ def _wholeframe_kernel(leaf_start_ref, leaf_count_ref, skip_ref,
     accr_ref[0] = accr
     accg_ref[0] = accg
     accb_ref[0] = accb
+    if emit_state:
+        for ref, v in zip(state_refs,
+                          (ox, oy, oz, dx, dy, dz, atr, atg, atb)):
+            ref[0] = v
 
 
 def _wholeframe_render(split: SplitScene, attr_tab, light: Light,
                        o, d, bg, cfg: RenderConfig, camera=None,
-                       grid_shape=None):
+                       grid_shape=None, bounces=None, emit_state=False,
+                       consume_state=False, state=None):
     """Trace blocked rays o/d/bg (R, 3) to final colors (R, 3) in one
     pallas launch (see _wholeframe_kernel). With camera+grid_shape
     given (USE_KERNEL_RAYGEN), o/d/bg are None and rays are generated
-    in-kernel."""
+    in-kernel.
+
+    Hybrid sorted-continuation plumbing: emit_state returns
+    (colors, [o(3), d(3), atten(3)] flat comps); consume_state takes
+    ``state`` (12 flat (R,) comps: o, d, atten, bg) instead of o/d/bg
+    and returns colors."""
     interpret = _auto_interpret(cfg)
     th, tw = cfg.tile_h, cfg.tile_w
     tile = th * tw
     raygen = None
-    if camera is not None:
+    if consume_state:
+        r = state[0].shape[0]
+        assert r % tile == 0
+        g = r // tile
+        rays = jnp.stack(state).reshape(12, g, th, tw)
+        par = jnp.concatenate(
+            [light.position, light.color,
+             jnp.zeros(18, jnp.float32)]).astype(jnp.float32) \
+            .reshape(1, 24)
+    elif camera is not None:
         n_bh, n_bw, bh, bw = grid_shape
         g = n_bh * n_bw
         r = g * tile
@@ -1567,11 +1608,13 @@ def _wholeframe_render(split: SplitScene, attr_tab, light: Light,
             and len(split.rid_values) <= STATIC_RESOLVE_MAX) else None
     kern = functools.partial(
         _wholeframe_kernel, m=split.m, n_other=split.n_other,
-        n_sph=split.n_sph, use_mt=cfg.use_mt, bounces=cfg.max_bounces,
+        n_sph=split.n_sph, use_mt=cfg.use_mt,
+        bounces=bounces if bounces is not None else cfg.max_bounces,
         shadow_eps=float(cfg.shadow_eps),
         reflect_eps=float(cfg.reflect_eps),
         use_fresnel=cfg.use_fresnel, enable_shadows=cfg.enable_shadows,
-        unroll=TRI_UNROLL, rid_values=rid_values, raygen=raygen)
+        unroll=TRI_UNROLL, rid_values=rid_values, raygen=raygen,
+        emit_state=emit_state, consume_state=consume_state)
     if raygen is not None:
         def body(ls, lc, sk, nd, pr, tr, tb, pa, *outs):
             # rays_ref slot is None: rays are generated in-kernel
@@ -1602,16 +1645,18 @@ def _wholeframe_render(split: SplitScene, attr_tab, light: Light,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 24), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, 1, th, tw), lambda i, *_: (0, i, 0, 0),
+            pl.BlockSpec((12 if consume_state else 9, 1, th, tw),
+                         lambda i, *_: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         operands = (*split.device_args(), attr_tab, par, rays)
+    n_out = 3 + (9 if emit_state else 0)
     spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(g,),
         in_specs=in_specs,
         out_specs=[pl.BlockSpec((1, th, tw), lambda i, *_: (i, 0, 0))
-                   for _ in range(3)],
+                   for _ in range(n_out)],
         scratch_shapes=[pltpu.VMEM((th, tw), jnp.float32)
                         for _ in range(8)],
     )
@@ -1619,10 +1664,13 @@ def _wholeframe_render(split: SplitScene, attr_tab, light: Light,
         body,
         grid_spec=spec,
         out_shape=[jax.ShapeDtypeStruct((g, th, tw), jnp.float32)
-                   for _ in range(3)],
+                   for _ in range(n_out)],
         interpret=interpret,
     )(*operands)
-    return jnp.stack([x.reshape(-1)[:r] for x in outs], axis=-1)
+    colors = jnp.stack([x.reshape(-1)[:r] for x in outs[:3]], axis=-1)
+    if emit_state:
+        return colors, [x.reshape(-1) for x in outs[3:]]
+    return colors
 
 
 def _split_kernel(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
@@ -1894,6 +1942,49 @@ def _render_impl(scene: FlatScene, split: SplitScene, camera, light,
 
     use_wholeframe = USE_WHOLEFRAME and not differentiable \
         and not USE_KERNEL_ATTRS and not USE_OCCLUSION
+    if use_wholeframe and cfg.sort_bounces and USE_KERNEL_RAYGEN \
+            and cfg.max_bounces >= 2:
+        # HYBRID SORTED CONTINUATION: bounce 1 runs the wholeframe
+        # kernel (in-kernel raygen/resolve/shading) and emits the
+        # reflection rays + attenuation; an XLA payload sort re-packs
+        # those divergent rays into coherent tiles (parked lanes
+        # compacted into whole skippable tiles); a second wholeframe
+        # launch finishes bounces 2..n on the sorted stream. Background
+        # for post-sort misses is composited at the end in ORIGINAL
+        # order from the kernel's miss-weighted attenuation (pixel
+        # identity is lost inside the sorted stream). Bit-exact vs the
+        # unsorted frame: per-lane results are packet-composition-
+        # invariant. Census basis: 83-88% of leaf tests come from the
+        # divergent waves; sorting cuts their leaf visits 2.7x (scene 2,
+        # benchmarks/sort_eval.py).
+        acc1, state = _wholeframe_render(
+            split, whitted._attr_table(scene), light, None, None, None,
+            cfg, camera=camera, grid_shape=(hp // bh, wp // bw, bh, bw),
+            bounces=1, emit_state=True)
+        o2 = jnp.stack(state[0:3], axis=-1)
+        d2 = jnp.stack(state[3:6], axis=-1)
+        ret0 = jnp.arange(state[0].shape[0], dtype=jnp.int32)
+        key = whitted._bounce_sort_key(o2, d2, state[0] < 1e30)
+        ys = jnp.arange(h, dtype=jnp.float32) / h
+        bg = jnp.broadcast_to(shading.background(ys)[:, None, :],
+                              (h, w, 3))
+        bg_b = to_blocks(bg)
+        s = jax.lax.sort(
+            (key,) + tuple(state)
+            + (bg_b[:, 0], bg_b[:, 1], bg_b[:, 2], ret0),
+            dimension=0, num_keys=1, is_stable=True)
+        accb_ = _wholeframe_render(
+            split, whitted._attr_table(scene), light, None, None, None,
+            cfg, bounces=cfg.max_bounces - 1, consume_state=True,
+            state=list(s[1:13]))
+        u = jax.lax.sort(
+            (s[13], accb_[:, 0], accb_[:, 1], accb_[:, 2]),
+            dimension=0, num_keys=1, is_stable=True)
+        colors = acc1 + jnp.stack([u[1], u[2], u[3]], axis=-1)
+        colors = colors.reshape(hp // bh, wp // bw, bh, bw, 3)
+        colors = colors.transpose(0, 2, 1, 3, 4).reshape(hp, wp, 3)
+        return colors[:h, :w]
+    use_wholeframe = use_wholeframe and not cfg.sort_bounces
     if use_wholeframe and USE_KERNEL_RAYGEN:
         # rays + background generated in-kernel from the pixel iota,
         # skipping the XLA raygen pipeline (camera_rays + 3 to_blocks

@@ -44,6 +44,12 @@ _PARK_DIR = 0.5773502691896258  # 1/sqrt(3): unit, no zero components
 # with constants. NEVER leave off in production.
 DEBUG_CONST_SHADE = False
 
+# With cfg.sort_bounces: re-sort at EVERY bounce transition instead of
+# once after bounce 1. v5e A/B: the extra per-bounce payload sort costs
+# ~3.5ms and buys little locality (bounce-3 rays inherit bounce-2's
+# clustering), so default off.
+SORT_EVERY_BOUNCE = False
+
 
 def _attr_table(scene: FlatScene) -> jnp.ndarray:
     """Packed (N, 16) shading-attribute table so the per-hit lookup is ONE
@@ -63,6 +69,29 @@ def _attr_table(scene: FlatScene) -> jnp.ndarray:
         scene.sphere_center,
         (scene.shape_type == SPHERE).astype(jnp.float32)[:, None],
     ], axis=1)
+
+
+def _bounce_sort_key(o: jnp.ndarray, d: jnp.ndarray,
+                     live: jnp.ndarray) -> jnp.ndarray:
+    """int32 coherence key for bounce-wave re-sorting: direction octant
+    (3 bits) over a 7-bit/axis Morton code of the ray origin, quantized
+    to the live-ray bounding box; parked lanes sort to the tail. 24 bits
+    total — int32-safe (TPU jax runs without x64)."""
+    octant = ((d[:, 0] > 0).astype(jnp.int32) * 4
+              + (d[:, 1] > 0).astype(jnp.int32) * 2
+              + (d[:, 2] > 0).astype(jnp.int32))
+    masked = jnp.where(live[:, None], o, jnp.nan)
+    lo = jnp.nan_to_num(jnp.nanmin(masked, axis=0), nan=0.0)
+    hi = jnp.nan_to_num(jnp.nanmax(masked, axis=0), nan=1.0)
+    span = jnp.maximum(hi - lo, 1e-6)
+    q = jnp.clip((o - lo) / span * 127.0, 0.0, 127.0).astype(jnp.int32)
+    m = jnp.zeros(o.shape[0], jnp.int32)
+    for b in range(7):
+        m = m | ((q[:, 0] >> b) & 1) << (3 * b + 2) \
+            | ((q[:, 1] >> b) & 1) << (3 * b + 1) \
+            | ((q[:, 2] >> b) & 1) << (3 * b)
+    key = (octant << 21) | m
+    return jnp.where(live, key, jnp.int32(1) << 30)
 
 
 def trace(scene: FlatScene, light: Light, closest_hit_fn: ClosestHitFn,
@@ -99,8 +128,8 @@ def trace(scene: FlatScene, light: Light, closest_hit_fn: ClosestHitFn,
 
     use_fused = fused_fn is not None and cfg.enable_shadows
 
-    def bounce(_, carry):
-        o, d, atten, accum, alive = carry
+    def bounce(i, carry):
+        o, d, atten, accum, alive, missed, ret = carry
         if use_fused:
             t, sid, hit, fused_shadow = fused_fn(o, d, light_pos)
         elif provides_attrs:
@@ -110,7 +139,13 @@ def trace(scene: FlatScene, light: Light, closest_hit_fn: ClosestHitFn,
 
         # Miss: add attenuated background, terminate (comp:454-458).
         miss_now = alive & ~hit
-        accum = accum + jnp.where(miss_now[..., None], atten * bg, 0.0)
+        if cfg.sort_bounces:
+            # background composited once at the end, in original order:
+            # atten freezes when a lane dies, so recording the miss BIT
+            # (1 sort column) is equivalent to adding atten*bg here (3)
+            missed = missed | miss_now
+        else:
+            accum = accum + jnp.where(miss_now[..., None], atten * bg, 0.0)
         live = alive & hit
 
         p = o + t[..., None] * d
@@ -198,8 +233,69 @@ def trace(scene: FlatScene, light: Light, closest_hit_fn: ClosestHitFn,
         park_d = jnp.full_like(d, _PARK_DIR)
         o = jnp.where(cont[..., None], new_o, park_o)
         d = jnp.where(cont[..., None], new_d, park_d)
-        return o, d, atten, accum, cont
+        carry = (o, d, atten, accum, cont, missed, ret)
 
-    _, _, _, accum, _ = jax.lax.fori_loop(
-        0, cfg.max_bounces, bounce, (o, d, atten, accum, alive))
+        if cfg.sort_bounces:
+            # Re-pack the NEXT bounce's rays into coherent packets (and
+            # compact parked lanes into whole parked tiles). Per-lane
+            # results are permutation-invariant, so this is bit-exact;
+            # per-ray state rides in sorted order and is un-sorted at
+            # the end via ret.
+            def do_sort(c):
+                o, d, atten, accum, cont, missed, ret = c
+                key = _bounce_sort_key(o, d, cont)
+                # ONE multi-operand lax.sort carrying every per-ray
+                # column as payload: inside the bounce loop XLA lowers
+                # argsort+gather to serialized row gathers (~21.5 ms
+                # EACH at 800x600 on v5e, profiler-measured) while the
+                # sort network moves payload rows at full rate (~1 ms
+                # per 3-4 columns).
+                cols = (key,
+                        o[:, 0], o[:, 1], o[:, 2],
+                        d[:, 0], d[:, 1], d[:, 2],
+                        atten[:, 0], atten[:, 1], atten[:, 2],
+                        accum[:, 0], accum[:, 1], accum[:, 2],
+                        missed.astype(jnp.int32), ret)
+                s = jax.lax.sort(cols, dimension=0, num_keys=1,
+                                 is_stable=True)
+                pack3 = lambda a, b, c_: jnp.stack([a, b, c_], axis=-1)
+                o2 = pack3(s[1], s[2], s[3])
+                # liveness is recomputed from the park sentinel instead
+                # of riding as an extra sort column
+                return (o2, pack3(s[4], s[5], s[6]),
+                        pack3(s[7], s[8], s[9]),
+                        pack3(s[10], s[11], s[12]),
+                        o2[:, 0] < 1e30, s[13].astype(bool), s[14])
+
+            # Sort ONCE, after bounce 1 (the first divergent wave):
+            # bounce-3 rays derive from sorted bounce-2 rays and inherit
+            # most of the clustering; a per-bounce re-sort pays another
+            # ~3.5ms for little extra locality (SORT_EVERY_BOUNCE A/B).
+            last = cfg.max_bounces - 1
+            do = (i < last) if SORT_EVERY_BOUNCE else \
+                ((i == 0) & (last > 0))
+            carry = jax.lax.cond(do, do_sort, lambda c: c, carry)
+        return carry
+
+    ret0 = jnp.arange(o.shape[0], dtype=jnp.int32)
+    missed0 = jnp.zeros(o.shape[0], dtype=bool)
+    _, _, atten, accum, _, missed, ret = jax.lax.fori_loop(
+        0, cfg.max_bounces, bounce,
+        (o, d, atten, accum, alive, missed0, ret0))
+    if cfg.sort_bounces:
+        # un-sort with one more payload sort keyed on the carried
+        # original indices. Both a scatter (.at[ret].set, ~150ms) and an
+        # argsort+gather (~9ms) lower to serialized row moves on TPU;
+        # the sort network moves payload rows at full rate. atten and
+        # the miss bit ride along so the deferred background composite
+        # happens in ORIGINAL order against the un-permuted bg.
+        s = jax.lax.sort(
+            (ret, accum[:, 0], accum[:, 1], accum[:, 2],
+             atten[:, 0], atten[:, 1], atten[:, 2],
+             missed.astype(jnp.int32)),
+            dimension=0, num_keys=1, is_stable=True)
+        accum = jnp.stack([s[1], s[2], s[3]], axis=-1)
+        atten = jnp.stack([s[4], s[5], s[6]], axis=-1)
+        accum = accum + jnp.where(s[7].astype(bool)[..., None],
+                                  atten * bg, 0.0)
     return accum

@@ -136,3 +136,38 @@ def test_sharded_split_differentiable_gradients():
 def test_dryrun_entrypoint():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_sharded_split_stream_no_per_frame_sync():
+    """Pipelined multi-frame sharded stream (VERDICT r2 item 6): dispatch
+    N frames through render_sharded_split on the 8-device mesh and block
+    ONCE. Pins that the sharded path has no hidden per-frame host sync:
+    the dispatch loop must return long before the frames finish (async
+    dispatch), and every frame of the stream must equal the single-frame
+    render."""
+    import time
+
+    from raytracer_tpu.render import pallas_split
+
+    sc = generate_scene3()
+    bvh = linearize(build_bvh(sc.flat, sc.bvh_max_depth))
+    # big enough that a frame takes real time on the CPU mesh — the
+    # async check below must observe the stream still in flight
+    cfg = CFG.replace(use_bvh=True, tile_h=8, tile_w=128,
+                      width=128, height=96)
+    split = pallas_split.prepare(sc.flat, bvh)
+    mesh = make_mesh(8)
+
+    ref = jax.block_until_ready(render_sharded_split(
+        sc.flat, split, sc.camera, sc.light, cfg, mesh))  # warm/compile
+
+    n = 4
+    outs = [render_sharded_split(sc.flat, split, sc.camera, sc.light,
+                                 cfg, mesh) for _ in range(n)]
+    # dispatch returned while the stream is still executing: a hidden
+    # per-frame host sync would have completed every frame already
+    pending = not outs[-1].is_ready()
+    jax.block_until_ready(outs)
+    assert pending, "stream completed during dispatch: per-frame sync?"
+    for img in outs:
+        np.testing.assert_array_equal(np.asarray(img), np.asarray(ref))

@@ -81,6 +81,21 @@ def test_split_kernel_raygen_odd_sizes(scene1, wh):
     assert frac_ok > 0.999, f"only {frac_ok:.4%} of pixels agree"
 
 
+def test_sorted_continuation_matches_wholeframe(scene1):
+    """cfg.sort_bounces (hybrid sorted continuation: bounce-1 wholeframe
+    launch -> payload sort -> continuation launch) is bit-exact vs the
+    plain wholeframe kernel up to the deferred-background add order:
+    per-lane results are packet-composition-invariant."""
+    sc, lin = scene1
+    cfg = CFG.replace(width=64, height=48, ray_chunk=3072)
+    img_a = np.asarray(pallas_split.render(sc.flat, lin, sc.camera,
+                                           sc.light, cfg))
+    img_b = np.asarray(pallas_split.render(
+        sc.flat, lin, sc.camera, sc.light,
+        cfg.replace(sort_bounces=True)))
+    np.testing.assert_allclose(img_b, img_a, atol=1e-6)
+
+
 def test_scene3_kernels(scene1):
     sc = generate_scene3()
     lin = linearize(build_bvh(sc.flat, 0))
