@@ -62,33 +62,67 @@ def main_kernel(steps: int, lr: float):
     write_png("inverse_kernel_init.png", np.asarray(
         renderer(sc.flat.replace(**init), sc.camera, sc.light, cfg)))
 
+    # fit ONLY the perturbed sphere's parameters (a whole-array fit
+    # with Adam drags every other shape's color off truth: Adam
+    # normalizes the spurious early-mismatch gradients to full steps)
+    from raytracer_tpu.diff.inverse import image_loss
+
+    def with_params(p):
+        return sc.flat.replace(
+            sphere_center=sc.flat.sphere_center.at[0].set(p["center"]),
+            mat_color=sc.flat.mat_color.at[0].set(p["color"]))
+
+    def loss_fn(p):
+        img = renderer(with_params(p), sc.camera, sc.light, cfg)
+        return image_loss(img, target)
+
+    p0 = {"center": init["sphere_center"][0], "color": init["mat_color"][0]}
+    p_true = {"center": sc.flat.sphere_center[0],
+              "color": sc.flat.mat_color[0]}
+
     # fwd / fwd+bwd wall times at full 800x600 through the kernel path
-    loss_fn = make_loss_fn(sc.flat, sc.camera, sc.light, cfg, target,
-                           init.keys(), renderer=renderer)
     fwd = jax.jit(loss_fn)
     vg = jax.jit(jax.value_and_grad(loss_fn))
-    jax.block_until_ready(fwd(init))
-    jax.block_until_ready(vg(init))
+    jax.block_until_ready(fwd(p0))
+    jax.block_until_ready(vg(p0))
     t0 = time.perf_counter()
     for _ in range(10):
-        jax.block_until_ready(fwd(init))
+        jax.block_until_ready(fwd(p0))
     fwd_ms = (time.perf_counter() - t0) / 10 * 1e3
     t0 = time.perf_counter()
     for _ in range(10):
-        jax.block_until_ready(vg(init))
+        jax.block_until_ready(vg(p0))
     fwdbwd_ms = (time.perf_counter() - t0) / 10 * 1e3
 
     import optax
 
+    opt = optax.adam(lr)
+    opt_state = opt.init(p0)
+
+    @jax.jit
+    def step(p, st):
+        val, g = jax.value_and_grad(loss_fn)(p)
+        upd, st = opt.update(g, st, p)
+        return optax.apply_updates(p, upd), st, val
+
     t0 = time.perf_counter()
-    params, history = fit_scene_params(sc.flat, sc.camera, sc.light, cfg,
-                                       target, init, steps=steps,
-                                       optimizer=optax.adam(lr),
-                                       renderer=renderer)
+    p, history = p0, []
+    for _ in range(steps):
+        p, opt_state, val = step(p, opt_state)
+        history.append(float(val))
     fit_s = time.perf_counter() - t0
+    params = {"sphere_center": sc.flat.sphere_center.at[0].set(p["center"]),
+              "mat_color": sc.flat.mat_color.at[0].set(p["color"])}
     write_png("inverse_kernel_fit.png", np.asarray(
         renderer(sc.flat.replace(**params), sc.camera, sc.light, cfg)))
 
+    # Loss floor: the target was rendered by the eager renderer while
+    # the fit's forward is ONE fused program; eager-vs-fused f32
+    # rounding of the prepared tables flips knife-edge discrete
+    # decisions (a shadow/backface test on a quirk plane), leaving a
+    # constant pixel-set mismatch that no parameter can remove. The
+    # fit's success criterion is loss-above-floor + parameter recovery.
+    loss_floor = float(fwd(p_true))
     out = {
         "config": "scene 1 (1240 shapes), 800x600, 3 bounces, production "
                   "split kernel, per-step update_dynamic refresh",
@@ -99,6 +133,7 @@ def main_kernel(steps: int, lr: float):
         "bwd_over_fwd": round(fwdbwd_ms / fwd_ms, 2),
         "fit_wall_s": round(fit_s, 1),
         "loss_first": history[0], "loss_last": history[-1],
+        "loss_floor_at_true_params": loss_floor,
         "loss_curve": [round(h, 6) for h in history],
         "true_center": np.asarray(sc.flat.sphere_center[0]).tolist(),
         "recovered_center":
@@ -111,7 +146,13 @@ def main_kernel(steps: int, lr: float):
         json.dump(out, f, indent=1)
     print(json.dumps({k: v for k, v in out.items() if k != "loss_curve"},
                      indent=1))
-    assert history[-1] < history[0] * 0.2, "kernel-path fit did not converge"
+    excess0 = history[0] - loss_floor
+    excess1 = history[-1] - loss_floor
+    assert excess1 < 0.05 * excess0, \
+        f"kernel-path fit did not converge: {excess1} vs {excess0}"
+    err = np.linalg.norm(np.asarray(p["center"])
+                         - np.asarray(p_true["center"]))
+    assert err < 0.1, f"center not recovered: {err}"
 
 
 def main():

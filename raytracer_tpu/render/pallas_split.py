@@ -1577,6 +1577,12 @@ def _wholeframe_render(split: SplitScene, attr_tab, light: Light,
             .reshape(1, 24)
     elif camera is not None:
         n_bh, n_bw, bh, bw = grid_shape
+        # the in-kernel pixel mapping derives (row, col) with f32
+        # floor-div/mod, exact ONLY for power-of-two block/tile widths
+        # (ADVICE r2: a non-power-of-two custom tile would silently
+        # scramble pixel regions — refuse instead)
+        assert bw & (bw - 1) == 0 and tw & (tw - 1) == 0, \
+            f"kernel raygen needs power-of-two widths, got bw={bw} tw={tw}"
         g = n_bh * n_bw
         r = g * tile
         raygen = (cfg.width, cfg.height, bh, bw, th, tw, n_bw)
@@ -1942,7 +1948,11 @@ def _render_impl(scene: FlatScene, split: SplitScene, camera, light,
 
     use_wholeframe = USE_WHOLEFRAME and not differentiable \
         and not USE_KERNEL_ATTRS and not USE_OCCLUSION
-    if use_wholeframe and cfg.sort_bounces and USE_KERNEL_RAYGEN \
+    # the in-kernel pixel mapping is exact only for power-of-two block/
+    # tile widths (ADVICE r2): fall back to fed rays otherwise
+    raygen_ok = USE_KERNEL_RAYGEN and bw & (bw - 1) == 0 \
+        and cfg.tile_w & (cfg.tile_w - 1) == 0
+    if use_wholeframe and cfg.sort_bounces and raygen_ok \
             and cfg.max_bounces >= 2:
         # HYBRID SORTED CONTINUATION: bounce 1 runs the wholeframe
         # kernel (in-kernel raygen/resolve/shading) and emits the
@@ -1985,7 +1995,7 @@ def _render_impl(scene: FlatScene, split: SplitScene, camera, light,
         colors = colors.transpose(0, 2, 1, 3, 4).reshape(hp, wp, 3)
         return colors[:h, :w]
     use_wholeframe = use_wholeframe and not cfg.sort_bounces
-    if use_wholeframe and USE_KERNEL_RAYGEN:
+    if use_wholeframe and raygen_ok:
         # rays + background generated in-kernel from the pixel iota,
         # skipping the XLA raygen pipeline (camera_rays + 3 to_blocks
         # relayouts + bg broadcast) entirely.
