@@ -56,14 +56,27 @@ class RenderConfig:
     interpret: Optional[bool] = None  # Pallas interpret mode; None = auto
     # Re-sort bounce-wave rays into coherent packets between bounces
     # (direction-octant + origin-Morton key, parked lanes compacted to
-    # the tail). Bit-exact — packet composition changes which tree nodes
-    # a TILE visits, never a lane's own closest hit. Pays one argsort +
-    # gather per bounce; wins when divergent bounce waves dominate
+    # the tail). Per-lane hit decisions are exact — packet composition
+    # changes which tree nodes a TILE visits, never a lane's own closest
+    # hit — and colors match the unsorted frame up to f32 add
+    # reassociation (the split accumulation reassociates sums). Pays one
+    # lax.sort per re-pack; wins when divergent bounce waves dominate
     # (census: 83-88% of leaf tests — benchmarks/sort_eval.py measured
     # 2.69x fewer leaf iterations on scene 2, 1.56x on scene 1).
-    # Routed through the per-bounce whitted.trace path (the wholeframe
-    # megakernel keeps rays in-register and cannot reorder them).
+    # Two routes, picked in pallas_split._render_impl: when in-kernel
+    # raygen is usable and max_bounces >= 2, the wholeframe
+    # sorted-continuation hybrid (bounce-1 megakernel + sort + a
+    # continuation megakernel over the re-packed survivors); otherwise
+    # the per-bounce whitted.trace path, which sorts between separate
+    # per-bounce kernel launches.
     sort_bounces: bool = False
+    # Gram-fused barycentric triangle test (v,w from precomputed
+    # Ev/cv/Ew/cw row constants; 12 scalar loads vs 15, no hit point).
+    # Same accept set in exact arithmetic; f32 reassociation can flip
+    # accepts exactly on triangle edges. False = the raw-column test,
+    # bit-exact vs the oracle's hit-point formulation. Part of the
+    # hashable config so jit cache keys track it.
+    use_gram_tri: bool = True
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -206,7 +206,7 @@ G_RID = 39
 PRE_W = 40
 
 # triangle row layout (lean): n, pd, e1, e2, p1, p1e1, p1e2, r11, r01, r00,
-# gid, material, rid, + Gram-fused constants (see USE_GRAM_TRI)
+# gid, material, rid, + Gram-fused constants (cfg.use_gram_tri)
 T_NX, T_NY, T_NZ, T_PD = 0, 1, 2, 3
 T_E1X, T_E1Y, T_E1Z = 4, 5, 6
 T_E2X, T_E2Y, T_E2Z = 7, 8, 9
@@ -225,10 +225,6 @@ T_EVX, T_EVY, T_EVZ, T_CV = 28, 29, 30, 31
 T_EWX, T_EWY, T_EWZ, T_CW = 32, 33, 34, 35
 TRI_W = 36
 
-# Use the Gram-fused barycentric test in the kernels (the raw-column
-# test stays switchable for bit-exact parity pins against the oracle's
-# hit-point formulation — tests/test_pallas_bvh.py).
-USE_GRAM_TRI = True
 
 # rid = the canonical resolve id: min gid over shapes with an IDENTICAL
 # material 8-tuple, computed at prepare() time. The wholeframe kernel's
@@ -550,7 +546,7 @@ def _pre_planewall(pre_ref, i, ox, oy, oz, dx, dy, dz,
     return t, inner
 
 
-def _tri_test(tri_ref, i, ox, oy, oz, dx, dy, dz, use_mt):
+def _tri_test(tri_ref, i, ox, oy, oz, dx, dy, dz, use_mt, use_gram):
     """Lean triangle test (barycentric, gpu_shader.comp:196-240, or MT
     :170-195)."""
     if use_mt:
@@ -585,7 +581,7 @@ def _tri_test(tri_ref, i, ox, oy, oz, dx, dy, dz, use_mt):
     o_n = ox * nx + oy * ny + oz * nz
     t = -(tri_ref[i, T_PD] + o_n) / jnp.where(d_n == 0, 1.0, d_n)
     inner = (d_n > 0) & (t > 0)
-    if USE_GRAM_TRI:
+    if use_gram:
         # v = (o + t d).Ev - cv without forming the hit point (t is
         # always finite — the divide is guarded — so no tw masking).
         # Degenerate triangles (Gram denom 0) keep the raw path's quirk:
@@ -664,7 +660,7 @@ N_ATTRS = 11  # nx, ny, nz, cr, cg, cb, ka, kd, ks, kf, shininess
 
 def _split_body(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
                 pre_ref, tri_ref, rays_ref, t_ref, gid_ref,
-                *, m, n_other, n_sph, use_mt, occlusion, attr_refs=None,
+                *, m, n_other, n_sph, use_mt, use_gram, occlusion, attr_refs=None,
                 unroll=1):
     pre_ref = _maybe_const(pre_ref)
     ox = rays_ref[0, 0]
@@ -840,7 +836,7 @@ def _split_body(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
                     for j in range(unroll):
                         row = st + k + j
                         t, inner = _tri_test(tri_ref, row, ox, oy, oz,
-                                             dx, dy, dz, use_mt)
+                                             dx, dy, dz, use_mt, use_gram)
                         h = inner & (t < limit)
                         hits.append(h if j == 0 else h & ((k + j) < cnt))
                     while len(hits) > 1:
@@ -854,7 +850,7 @@ def _split_body(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
                 for j in range(unroll):
                     row = st + k + j
                     t, inner = _tri_test(tri_ref, row, ox, oy, oz,
-                                         dx, dy, dz, use_mt)
+                                         dx, dy, dz, use_mt, use_gram)
                     ok = inner if j == 0 else inner & ((k + j) < cnt)
                     cands.append((jnp.where(ok, t, INF),
                                   tri_ref[row, T_GID]))
@@ -866,7 +862,7 @@ def _split_body(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
                 row = st + k + j
                 valid = ((k + j) < cnt) if j else None
                 t, inner = _tri_test(tri_ref, row, ox, oy, oz, dx, dy, dz,
-                                     use_mt)
+                                     use_mt, use_gram)
                 if occlusion:
                     hit_now = inner & (t < limit)
                     if j:
@@ -907,7 +903,7 @@ def _split_body(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
                 if j:
                     valid = valid & in_leaf
                 t, inner = _tri_test(tri_ref, row, ox, oy, oz, dx, dy, dz,
-                                     use_mt)
+                                     use_mt, use_gram)
                 if occlusion:
                     hit_now = inner & valid & (t < limit)
                     t_best = jnp.where(hit_now, 0.0, t_best)
@@ -975,7 +971,7 @@ def _split_body(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
 
 def _closest_pass(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
                   pre_ref, tri_ref, ox, oy, oz, dx, dy, dz,
-                  *, m, n_other, n_sph, use_mt, with_normals, unroll=1,
+                  *, m, n_other, n_sph, use_mt, use_gram, with_normals, unroll=1,
                   rid=False):
     pre_ref = _maybe_const(pre_ref)
     """One full closest-hit traversal (pre-pass + triangle packet walk) as
@@ -1113,7 +1109,7 @@ def _closest_pass(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
                 for j in range(unroll):
                     row = st + k + j
                     t, inner = _tri_test(tri_ref, row, ox, oy, oz,
-                                         dx, dy, dz, use_mt)
+                                         dx, dy, dz, use_mt, use_gram)
                     ok = inner if j == 0 else inner & ((k + j) < cnt)
                     payload = (jnp.where(ok, t, INF),
                                tri_ref[row, tcol])
@@ -1131,7 +1127,7 @@ def _closest_pass(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
                 row = st + k + j
                 valid = True if j == 0 else (k + j) < cnt
                 t, inner = _tri_test(tri_ref, row, ox, oy, oz, dx, dy, dz,
-                                     use_mt)
+                                     use_mt, use_gram)
                 better = inner & valid & (t < t_best) if j \
                     else inner & (t < t_best)
                 t_best = jnp.where(better, t, t_best)
@@ -1155,7 +1151,7 @@ def _closest_pass(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
                 row = st + k + j
                 valid = in_leaf if j == 0 else ((k + j) < cnt) & in_leaf
                 t, inner = _tri_test(tri_ref, row, ox, oy, oz, dx, dy, dz,
-                                     use_mt)
+                                     use_mt, use_gram)
                 better = inner & valid & (t < t_best)
                 t_best = jnp.where(better, t, t_best)
                 gid_best = jnp.where(better, tri_ref[row, tcol],
@@ -1193,7 +1189,7 @@ def _closest_pass(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
 
 def _fused_kernel(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
                   pre_ref, tri_ref, rays_ref, t_ref, gid_ref, sh_ref,
-                  *, m, n_other, n_sph, use_mt, shadow_eps, unroll=1):
+                  *, m, n_other, n_sph, use_mt, use_gram, shadow_eps, unroll=1):
     """Closest hit + shadow occlusion in ONE launch. Ray rows 0-5 are the
     primary ray; rows 6-8 broadcast the light position. The shadow ray is
     derived exactly as whitted.trace does (origin p + n*shadow_eps,
@@ -1212,7 +1208,7 @@ def _fused_kernel(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
     t, gid, nx, ny, nz = _closest_pass(
         leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref, pre_ref,
         tri_ref, ox, oy, oz, dx, dy, dz,
-        m=m, n_other=n_other, n_sph=n_sph, use_mt=use_mt,
+        m=m, n_other=n_other, n_sph=n_sph, use_mt=use_mt, use_gram=use_gram,
         with_normals=True, unroll=unroll)
 
     hit = t < INF
@@ -1236,7 +1232,7 @@ def _fused_kernel(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
     st, _ = _closest_pass(
         leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref, pre_ref,
         tri_ref, sox, soy, soz, sdx, sdy, sdz,
-        m=m, n_other=n_other, n_sph=n_sph, use_mt=use_mt,
+        m=m, n_other=n_other, n_sph=n_sph, use_mt=use_mt, use_gram=use_gram,
         with_normals=False, unroll=unroll)
 
     t_ref[0] = t
@@ -1280,7 +1276,7 @@ def _wholeframe_kernel(leaf_start_ref, leaf_count_ref, skip_ref,
                        nodes_ref, pre_ref, tri_ref, tab_ref, par_ref,
                        rays_ref, accr_ref, accg_ref, accb_ref,
                        *extra,
-                       m, n_other, n_sph, use_mt, bounces, shadow_eps,
+                       m, n_other, n_sph, use_mt, use_gram, bounces, shadow_eps,
                        reflect_eps, use_fresnel, enable_shadows,
                        unroll=1, rid_values=None, raygen=None,
                        emit_state=False, consume_state=False):
@@ -1398,7 +1394,7 @@ def _wholeframe_kernel(leaf_start_ref, leaf_count_ref, skip_ref,
     closest = functools.partial(
         _closest_pass, leaf_start_ref, leaf_count_ref, skip_ref,
         nodes_ref, pre_ref, tri_ref,
-        m=m, n_other=n_other, n_sph=n_sph, use_mt=use_mt, unroll=unroll,
+        m=m, n_other=n_other, n_sph=n_sph, use_mt=use_mt, use_gram=use_gram, unroll=unroll,
         rid=True)  # gid only feeds the material resolve here (T_RID note)
 
     for _ in range(bounces):
@@ -1614,7 +1610,7 @@ def _wholeframe_render(split: SplitScene, attr_tab, light: Light,
             and len(split.rid_values) <= STATIC_RESOLVE_MAX) else None
     kern = functools.partial(
         _wholeframe_kernel, m=split.m, n_other=split.n_other,
-        n_sph=split.n_sph, use_mt=cfg.use_mt,
+        n_sph=split.n_sph, use_mt=cfg.use_mt, use_gram=cfg.use_gram_tri,
         bounces=bounces if bounces is not None else cfg.max_bounces,
         shadow_eps=float(cfg.shadow_eps),
         reflect_eps=float(cfg.reflect_eps),
@@ -1819,7 +1815,8 @@ def make_closest_hit(split: SplitScene, cfg: RenderConfig):
         rays = jnp.stack(comps).reshape(nrow, g, th, tw)
 
         base_kw = dict(m=split.m, n_other=split.n_other,
-                       n_sph=split.n_sph, use_mt=cfg.use_mt)
+                       n_sph=split.n_sph, use_mt=cfg.use_mt,
+                       use_gram=cfg.use_gram_tri)
         kw = dict(base_kw, occlusion=occlusion, unroll=TRI_UNROLL)
         ray_spec = pl.BlockSpec((nrow, 1, th, tw),
                                 lambda i, *_: (0, i, 0, 0),
@@ -2136,7 +2133,7 @@ def update_tri_rows(split: SplitScene, scene: FlatScene) -> SplitScene:
         jnp.take(scene.mat_fresnel, gids)[:, None],
         jnp.take(scene.mat_shininess, gids)[:, None],
         split.tri_rows[:split.n_tri, T_RID:T_RID + 1],
-        # Gram-fused constants (USE_GRAM_TRI; same f32 ops as prepare())
+        # Gram-fused constants (cfg.use_gram_tri; same f32 ops as prepare())
         r11[:, None] * e1 - r01[:, None] * e2,
         (r11 * s0 - r01 * s1)[:, None],
         r00[:, None] * e2 - r01[:, None] * e1,

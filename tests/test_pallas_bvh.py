@@ -114,15 +114,9 @@ def test_scene3_kernels(scene1):
 
     # ...and a STRICT pin on the raw-column test, which shares the
     # oracle's hit-point reassociation (ADVICE r2: keep one bit-tight
-    # config). USE_GRAM_TRI is invisible to the jit cache key, so the
-    # cache must be cleared around the flip.
-    old = pallas_split.USE_GRAM_TRI
-    pallas_split._render_impl.clear_cache()
-    try:
-        pallas_split.USE_GRAM_TRI = False
-        img_raw = np.asarray(pallas_split.render(
-            sc.flat, lin, sc.camera, sc.light, CFG))
-    finally:
-        pallas_split.USE_GRAM_TRI = old
-        pallas_split._render_impl.clear_cache()
+    # config). use_gram_tri is part of RenderConfig, so the flip is a
+    # distinct jit cache entry — no manual cache clearing needed.
+    img_raw = np.asarray(pallas_split.render(
+        sc.flat, lin, sc.camera, sc.light,
+        CFG.replace(use_gram_tri=False)))
     np.testing.assert_allclose(img_raw, img_w, atol=2e-5)
