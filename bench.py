@@ -89,10 +89,14 @@ def _run_candidate(name: str):
 
     if name in ("scene2_split", "scene1_anim", "scene2_anim"):
         scene_id = 2 if name.startswith("scene2") else 1
-        if name == "scene2_split":
+        if name.startswith("scene2"):
             # scene 2's divergent bounce waves dominate (census: 88% of
             # leaf tests); the sorted-continuation hybrid is bit-exact
-            # and measured 66 vs 56 FPS vs the plain wholeframe kernel
+            # and measured 66 vs 56 FPS vs the plain wholeframe kernel.
+            # The ANIMATED stream benefits identically: the device tri
+            # refresh (update_dynamic) is geometry-only and upstream of
+            # the render, so the hybrid applies unchanged (r3 VERDICT
+            # item 4: 52.7 FPS unsorted -> sorted).
             cfg = cfg.replace(sort_bounces=True)
         sc = generate_scene(scene_id, aspect=800 / 600)
         bvh = linearize(build_bvh(sc.flat, sc.bvh_max_depth))

@@ -166,11 +166,26 @@ def refit_grow(bvh: BVH, scene: FlatScene,
     if animated_mask is None:
         animated_mask = np.asarray(scene.animated)
     mins, maxs = shape_aabbs(scene)
-    for i, idx in enumerate(bvh.node_shapes):
-        anim = idx[animated_mask[idx]]
-        if len(anim):
-            bvh.bounds_min[i] = np.minimum(bvh.bounds_min[i],
-                                           mins[anim].min(axis=0))
-            bvh.bounds_max[i] = np.maximum(bvh.bounds_max[i],
-                                           maxs[anim].max(axis=0))
+    # Vectorized over the whole (node, member) incidence (VERDICT r3
+    # item 9 — this runs per frame on the host oracle path): CSR-flatten
+    # node_shapes once, keep only animated members, and scatter-reduce
+    # their AABBs into per-node grow boxes with ufunc.at.
+    n_nodes = len(bvh.node_shapes)
+    counts = np.fromiter((len(ix) for ix in bvh.node_shapes),
+                         np.int64, n_nodes)
+    if counts.sum() == 0:
+        return bvh
+    flat_idx = np.concatenate([np.asarray(ix, np.int64)
+                               for ix in bvh.node_shapes])
+    owner = np.repeat(np.arange(n_nodes), counts)
+    sel = animated_mask[flat_idx]
+    if sel.any():
+        own = owner[sel]
+        mem = flat_idx[sel]
+        grow_min = np.full((n_nodes, 3), np.inf, np.float32)
+        grow_max = np.full((n_nodes, 3), -np.inf, np.float32)
+        np.minimum.at(grow_min, own, mins[mem])
+        np.maximum.at(grow_max, own, maxs[mem])
+        bvh.bounds_min = np.minimum(bvh.bounds_min, grow_min)
+        bvh.bounds_max = np.maximum(bvh.bounds_max, grow_max)
     return bvh

@@ -194,6 +194,11 @@ def cmd_play(args):
       light pos X Y Z       live light edits (main.cpp:417-429)
       light color R G B
       light intensity V
+      bounces N             max reflection depth (ImGui slider,
+                            main.cpp:377-379; recompiles on first use)
+      fresnel on|off        Fresnel reflection toggle (main.cpp:380-382)
+      renderer NAME         switch renderer mid-session (any --renderer
+                            choice; pallas-split re-prepares once)
       wait                  render a frame with no input
       quit                  stop
 
@@ -207,8 +212,9 @@ def cmd_play(args):
 
     cfg, sc, bvh = _build(args)
     cam = sc.camera
+    renderer = args.renderer
     split = None
-    if args.renderer == "pallas-split":
+    if renderer == "pallas-split":
         # persistent prepared scene: live material edits refresh it via
         # update_materials (rid regrouping) instead of a per-frame rebuild
         from raytracer_tpu.render import pallas_split
@@ -251,11 +257,31 @@ def cmd_play(args):
                     pos=vals if kind == "pos" else None,
                     color=vals if kind == "color" else None,
                     intensity=vals[0] if kind == "intensity" else None)
+            elif parts[0] == "bounces":
+                # feature toggles are config changes -> a fresh traced
+                # program on first use (then jit-cached per setting);
+                # the prepared split tables stay valid (geometry and
+                # materials are untouched)
+                cfg = cfg.replace(max_bounces=int(parts[1]))
+            elif parts[0] == "fresnel":
+                cfg = cfg.replace(
+                    use_fresnel=parts[1].lower() in ("on", "1", "true"))
+            elif parts[0] == "renderer":
+                name = parts[1]
+                known = ("wavefront", "reference", "cpu", "pallas",
+                         "pallas-bvh", "pallas-split")
+                if name not in known:
+                    print(f"# unknown renderer {name!r}", file=sys.stderr)
+                    continue
+                renderer = name
+                if renderer == "pallas-split" and split is None:
+                    from raytracer_tpu.render import pallas_split
+                    split = pallas_split.prepare(sc.flat, bvh)
             elif parts[0] != "wait":
                 print(f"# unknown event {parts[0]!r}", file=sys.stderr)
                 continue
             img = jax.block_until_ready(
-                _render_frame(cfg, sc, sc.flat, bvh, args.renderer,
+                _render_frame(cfg, sc, sc.flat, bvh, renderer,
                               camera=cam, split=split))
             timer.tick()
             if args.out_dir and frame % max(args.save_every, 1) == 0:

@@ -117,20 +117,35 @@ class FlatScene:
                             for f in _FIELDS})
 
 
+class _BulkRows:
+    """Columnar block of ``count`` consecutive shapes (one add_triangles
+    call): per-column arrays instead of ``count`` Python dicts, so both the
+    append and build() stay vectorized for mesh-sized adds (scene 2 adds
+    4022 triangles in two calls)."""
+
+    __slots__ = ("count", "cols")
+
+    def __init__(self, count: int, cols: dict):
+        self.count = count
+        self.cols = cols                # name -> (count, ...) ndarray
+
+
 class SceneBuilder:
     """Host-side accumulation of shapes into a FlatScene.
 
     Plays the role of the reference's ``scene.shapes.push_back`` +
     ``serializeScene`` (src/main.cpp:583-804, 825-846): shapes are appended
-    on the host (numpy) and flattened once into device arrays.
+    on the host (numpy) and flattened once into device arrays. Entries in
+    ``_rows`` are per-shape dicts or columnar ``_BulkRows`` blocks.
     """
 
     def __init__(self):
         self._rows: List[dict] = []
         self.animated_indices: List[int] = []
+        self._n = 0
 
     def __len__(self):
-        return len(self._rows)
+        return self._n
 
     def _push(self, row: dict, material: Optional[Material],
               animated: bool) -> int:
@@ -142,8 +157,9 @@ class SceneBuilder:
         row["mat_specular"] = float(mat.specular)
         row["mat_shininess"] = float(mat.shininess)
         row["animated"] = animated
-        idx = len(self._rows)
+        idx = self._n
         self._rows.append(row)
+        self._n += 1
         if animated:
             self.animated_indices.append(idx)
         return idx
@@ -237,56 +253,78 @@ class SceneBuilder:
         d = -(n * p1).sum(-1)
 
         mat = material if material is not None else Material()
-        mat_fields = {
-            "mat_color": np.asarray(mat.color, np.float32),
-            "mat_fresnel": float(mat.fresnel),
-            "mat_ambient": float(mat.ambient),
-            "mat_diffuse": float(mat.diffuse),
-            "mat_specular": float(mat.specular),
-            "mat_shininess": float(mat.shininess),
-            "animated": animated,
-        }
-        ids = []
-        n32 = n.astype(np.float32)
+        cnt = int(v.shape[0])
         p1f = p1.astype(np.float32)
-        p2f = p2.astype(np.float32)
-        p3f = p3.astype(np.float32)
-        d32 = d.astype(np.float32)
-        for i in range(v.shape[0]):
-            row = {
-                "shape_type": TRIANGLE,
-                "plane_normal": n32[i],
-                "plane_d": float(d32[i]),
-                "tri_p1": p1f[i], "tri_p2": p2f[i], "tri_p3": p3f[i],
-                "origin": p1f[i],
-            }
-            row.update(mat_fields)
-            idx = len(self._rows)
-            self._rows.append(row)
-            if animated:
-                self.animated_indices.append(idx)
-            ids.append(idx)
+
+        def full(val, shape=()):
+            return np.broadcast_to(
+                np.asarray(val), (cnt,) + shape).copy()
+
+        cols = {
+            "shape_type": full(TRIANGLE).astype(np.int32),
+            "plane_normal": n.astype(np.float32),
+            "plane_d": d.astype(np.float32),
+            "tri_p1": p1f,
+            "tri_p2": p2.astype(np.float32),
+            "tri_p3": p3.astype(np.float32),
+            "origin": p1f.copy(),
+            "mat_color": full(np.asarray(mat.color, np.float32), (3,)),
+            "mat_fresnel": full(np.float32(mat.fresnel)),
+            "mat_ambient": full(np.float32(mat.ambient)),
+            "mat_diffuse": full(np.float32(mat.diffuse)),
+            "mat_specular": full(np.float32(mat.specular)),
+            "mat_shininess": full(np.float32(mat.shininess)),
+            "animated": full(bool(animated)),
+        }
+        start = self._n
+        self._rows.append(_BulkRows(cnt, cols))
+        self._n += cnt
+        ids = list(range(start, start + cnt))
+        if animated:
+            self.animated_indices.extend(ids)
         return ids
 
     def set_material(self, idx: int, material: Material):
-        row = self._rows[idx]
-        row["mat_color"] = np.asarray(material.color, np.float32)
-        row["mat_fresnel"] = float(material.fresnel)
-        row["mat_ambient"] = float(material.ambient)
-        row["mat_diffuse"] = float(material.diffuse)
-        row["mat_specular"] = float(material.specular)
-        row["mat_shininess"] = float(material.shininess)
+        vals = {
+            "mat_color": np.asarray(material.color, np.float32),
+            "mat_fresnel": float(material.fresnel),
+            "mat_ambient": float(material.ambient),
+            "mat_diffuse": float(material.diffuse),
+            "mat_specular": float(material.specular),
+            "mat_shininess": float(material.shininess),
+        }
+        pos = 0
+        for row in self._rows:
+            if isinstance(row, _BulkRows):
+                if pos <= idx < pos + row.count:
+                    for k, v in vals.items():
+                        row.cols[k][idx - pos] = v
+                    return
+                pos += row.count
+            else:
+                if pos == idx:
+                    row.update(vals)
+                    return
+                pos += 1
+        raise IndexError(idx)
 
     def build(self) -> FlatScene:
-        n = len(self._rows)
+        n = self._n
         if n == 0:
             raise ValueError("empty scene")
 
         def col(name, shape, dtype, default=0):
             out = np.full((n,) + shape, default, dtype)
-            for i, row in enumerate(self._rows):
-                if name in row:
-                    out[i] = row[name]
+            pos = 0
+            for row in self._rows:
+                if isinstance(row, _BulkRows):
+                    if name in row.cols:
+                        out[pos:pos + row.count] = row.cols[name]
+                    pos += row.count
+                else:
+                    if name in row:
+                        out[pos] = row[name]
+                    pos += 1
             return out
 
         return FlatScene(

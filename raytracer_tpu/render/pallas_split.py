@@ -1959,9 +1959,13 @@ def _render_impl(scene: FlatScene, split: SplitScene, camera, light,
         # launch finishes bounces 2..n on the sorted stream. Background
         # for post-sort misses is composited at the end in ORIGINAL
         # order from the kernel's miss-weighted attenuation (pixel
-        # identity is lost inside the sorted stream). Bit-exact vs the
-        # unsorted frame: per-lane results are packet-composition-
-        # invariant. Census basis: 83-88% of leaf tests come from the
+        # identity is lost inside the sorted stream). Per-lane HIT
+        # DECISIONS are bit-exact vs the unsorted frame (packet
+        # composition never changes a lane's traversal result); colors
+        # are equal up to f32 add reassociation — the two-launch split
+        # plus the deferred background add re-associates the
+        # accumulation (the parity test pins atol=1e-6, not equality).
+        # Census basis: 83-88% of leaf tests come from the
         # divergent waves; sorting cuts their leaf visits 2.7x (scene 2,
         # benchmarks/sort_eval.py).
         acc1, state = _wholeframe_render(

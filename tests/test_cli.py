@@ -85,3 +85,38 @@ def test_animate_dynamic_split(tmp_path):
               "--renderer", "pallas-split", "--dynamic", "--frames", "2",
               "--out-dir", d])
     assert sorted(os.listdir(d)) == ["frame_0000.png", "frame_0001.png"]
+
+
+def test_play_feature_toggles(tmp_path, capsys):
+    """Mid-session feature toggles (the remaining ImGui-panel knobs,
+    main.cpp:377-382): bounces N, fresnel on/off, renderer X are event
+    lines that re-configure subsequent frames without restarting."""
+    import numpy as np
+    from raytracer_tpu.io.image import read_png
+
+    script = tmp_path / "session.txt"
+    script.write_text(
+        "wait\n"
+        "bounces 1\n"
+        "fresnel on\n"
+        "renderer wavefront\n"
+        "quit\n")
+    d = str(tmp_path / "frames")
+    cli.main(["play", "--scene", "3", "--width", "32", "--height", "24",
+              "--renderer", "reference", "--script", str(script),
+              "--out-dir", d])
+    out = capsys.readouterr().out.strip().splitlines()
+    stats = [json.loads(l) for l in out if l.startswith("{")]
+    assert len(stats) == 4
+    frames = sorted(os.listdir(d))
+    assert frames == [f"play_{i:04d}.png" for i in range(4)]
+    imgs = [read_png(os.path.join(d, f)) for f in frames]
+    # dropping to 1 bounce removes reflections -> frame 1 differs from 0
+    assert np.abs(imgs[1].astype(int) - imgs[0].astype(int)).max() > 0
+    # fresnel adds the (1-w)*color*phong term on specular lanes even in
+    # the final bounce (gpu_shader.comp:510 double-count), so toggling
+    # it on changes the frame even at bounces=1
+    assert np.abs(imgs[2].astype(int) - imgs[1].astype(int)).max() > 0
+    # the wavefront renderer agrees with the oracle on the same config
+    np.testing.assert_allclose(imgs[3].astype(int), imgs[2].astype(int),
+                               atol=1)

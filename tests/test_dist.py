@@ -151,23 +151,33 @@ def test_sharded_split_stream_no_per_frame_sync():
 
     sc = generate_scene3()
     bvh = linearize(build_bvh(sc.flat, sc.bvh_max_depth))
-    # big enough that a frame takes real time on the CPU mesh — the
-    # async check below must observe the stream still in flight
+    # big enough that a frame's compute dwarfs the ~5ms/call pjit
+    # enqueue overhead the wall-clock check below must ignore
     cfg = CFG.replace(use_bvh=True, tile_h=8, tile_w=128,
-                      width=128, height=96)
+                      width=320, height=240)
     split = pallas_split.prepare(sc.flat, bvh)
     mesh = make_mesh(8)
 
     ref = jax.block_until_ready(render_sharded_split(
         sc.flat, split, sc.camera, sc.light, cfg, mesh))  # warm/compile
+    t0 = time.perf_counter()
+    jax.block_until_ready(render_sharded_split(
+        sc.flat, split, sc.camera, sc.light, cfg, mesh))
+    t_frame = time.perf_counter() - t0
 
     n = 4
+    t0 = time.perf_counter()
     outs = [render_sharded_split(sc.flat, split, sc.camera, sc.light,
                                  cfg, mesh) for _ in range(n)]
-    # dispatch returned while the stream is still executing: a hidden
-    # per-frame host sync would have completed every frame already
-    pending = not outs[-1].is_ready()
+    t_dispatch = time.perf_counter() - t0
     jax.block_until_ready(outs)
-    assert pending, "stream completed during dispatch: per-frame sync?"
+    # A hidden per-frame host sync makes the dispatch loop take ~the
+    # whole stream (n x blocked frame time); async dispatch returns in
+    # enqueue time. Wall-clock comparison instead of is_ready() — on a
+    # fast host the stream can legitimately COMPLETE during dispatch
+    # without any sync (ADVICE r3), so readiness alone is a race.
+    assert t_dispatch < 0.5 * n * t_frame, \
+        (f"dispatch {t_dispatch:.3f}s ~ {n}x blocked frame "
+         f"{t_frame:.3f}s: per-frame sync?")
     for img in outs:
         np.testing.assert_array_equal(np.asarray(img), np.asarray(ref))

@@ -69,6 +69,27 @@ def test_animated_split_matches_refit_oracle():
         assert np.median(d) <= 1e-6
 
 
+def test_animated_sorted_hybrid_matches_unsorted():
+    """The sorted-continuation hybrid (cfg.sort_bounces) composed with the
+    animated device-refresh path (update_pre_rows / update_dynamic) must
+    match the unsorted animated frame: the sort re-packs rays BETWEEN the
+    two wholeframe launches and the refresh happens upstream of both, so
+    per-lane hit decisions are identical and colors agree up to f32 add
+    reassociation (the bench's scene2_anim leg runs this config —
+    reference workload: rotating wheels, main.cpp:1084-1109)."""
+    sc = generate_scene1()
+    f_plain = make_frame_fn(sc, CFG, renderer="split")
+    f_sorted = make_frame_fn(sc, CFG.replace(sort_bounces=True),
+                             renderer="split")
+    dt = 1 / 30
+    cur_p, cur_s = sc.flat, sc.flat
+    for k in range(2):
+        img_p, cur_p = f_plain(cur_p, sc.camera, sc.light, k * dt, dt)
+        img_s, cur_s = f_sorted(cur_s, sc.camera, sc.light, k * dt, dt)
+    np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_p),
+                               atol=1e-6)
+
+
 def test_wheel_animation_split_matches_host_prepare():
     """Wheel (triangle-moving) animation through the production split
     kernel: device tri-row refresh + BVH refit (update_tri_rows) must
