@@ -154,7 +154,7 @@ def test_sharded_split_stream_no_per_frame_sync():
     # big enough that a frame's compute dwarfs the ~5ms/call pjit
     # enqueue overhead the wall-clock check below must ignore
     cfg = CFG.replace(use_bvh=True, tile_h=8, tile_w=128,
-                      width=320, height=240)
+                      width=640, height=480)
     split = pallas_split.prepare(sc.flat, bvh)
     mesh = make_mesh(8)
 
@@ -176,7 +176,7 @@ def test_sharded_split_stream_no_per_frame_sync():
     # enqueue time. Wall-clock comparison instead of is_ready() — on a
     # fast host the stream can legitimately COMPLETE during dispatch
     # without any sync (ADVICE r3), so readiness alone is a race.
-    assert t_dispatch < 0.5 * n * t_frame, \
+    assert t_dispatch < 0.75 * n * t_frame, \
         (f"dispatch {t_dispatch:.3f}s ~ {n}x blocked frame "
          f"{t_frame:.3f}s: per-frame sync?")
     for img in outs:
