@@ -177,10 +177,11 @@ def main():
             else:
                 rays_ref, t_ref, gid_ref = refs
                 pre_ref = _ConstRows(pre_np)
+            # block is (1, 6, TH, TW): index [0, c]
             t, gid = static_closest(
                 tree, tri_np, pre_ref,
-                rays_ref[0, 0], rays_ref[1, 0], rays_ref[2, 0],
-                rays_ref[3, 0], rays_ref[4, 0], rays_ref[5, 0],
+                rays_ref[0, 0], rays_ref[0, 1], rays_ref[0, 2],
+                rays_ref[0, 3], rays_ref[0, 4], rays_ref[0, 5],
                 n_other=split.n_other, n_sph=split.n_sph,
                 use_gram=use_gram)
             t_ref[0] = t
@@ -207,10 +208,11 @@ def main():
 
     def walk_kernel(ls_ref, lc_ref, sk_ref, nodes_ref, pre_ref, tri_ref,
                     rays_ref, t_ref, gid_ref):
+        # block is (1, 6, TH, TW): index [0, c]
         t, gid = _closest_pass(
             ls_ref, lc_ref, sk_ref, nodes_ref, pre_ref, tri_ref,
-            rays_ref[0, 0], rays_ref[1, 0], rays_ref[2, 0],
-            rays_ref[3, 0], rays_ref[4, 0], rays_ref[5, 0],
+            rays_ref[0, 0], rays_ref[0, 1], rays_ref[0, 2],
+            rays_ref[0, 3], rays_ref[0, 4], rays_ref[0, 5],
             m=split.m, n_other=split.n_other, n_sph=split.n_sph,
             use_mt=False, use_gram=use_gram, with_normals=False,
             unroll=pallas_split.TRI_UNROLL)

@@ -114,6 +114,29 @@ USE_RESOLVE_KERNEL = True
 #   iteration census shows only 1.1% fewer iterations — packet any-lane
 #   semantics visit the union of 2048 lanes' subtrees regardless of
 #   order, so earlier t-tightening prunes almost nothing. Dead end.
+# - MULTI-STATE lockstep walks (round 4, benchmarks/dual_walk_ab.py):
+#   K independent (ptr,k,t,gid) state machines advance K tiles (or K
+#   row-slices of one tile) through ONE while loop, overlapping their
+#   any()->scalar latencies. All bit-exact; all LOSE: cross-tile K=2/4
+#   spill registers (each (16,128) side carries ~24 vregs; 2.4-5x
+#   slower), and 2x(8,128) sub-tiles of the SAME tile (flat register
+#   cost) still measure ~+20% — the per-side lax.cond machinery costs
+#   more than the overlapped latency saves.
+# - PROBE-ALL BITMASK walk (round 4, benchmarks/bitmask_walk_ab.py):
+#   probe all m node boxes up front (m independent slab tests + any()s,
+#   no branches between them -> pipelined), bits to SMEM scratch; the
+#   walk then branches on scalar SMEM bits with zero vector work on
+#   internal iterations. Exact (probes use the pre-pass t_best, a
+#   conservative superset; tightening prunes ~1.1% per the octant
+#   census). Measured NEUTRAL on the divergent bounce-2 stream (-2%)
+#   and slightly negative on the coherent primary stream: under the
+#   leaf-cond walk Mosaic already overlaps the probe/any latency with
+#   leaf vector work well enough that removing it buys nothing.
+#   Operational lesson from both: stream-level A/B absolute times on
+#   this attachment are only comparable WITHIN one quiet process
+#   (interleaved min-of-rounds; any concurrent host/TPU work inflates
+#   dispatch by 2-3x) — and a per-walk pallas_call pays ~0.9ms of
+#   grid/launch floor the production megakernel amortizes over 6 walks.
 # - Software-pipelined walk merging for the whole-frame kernel: bounce
 #   b's shadow walk and bounce b+1's closest walk are independent (the
 #   reflected ray needs the resolved material, not the shadow bit), so

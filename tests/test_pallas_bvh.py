@@ -106,11 +106,34 @@ def test_scene3_kernels(scene1):
     np.testing.assert_allclose(img_p, img_w, atol=2e-5)
 
     # The production Gram-fused test: identical accept set except f32
-    # sign flips ON triangle edges — allow isolated edge pixels only...
+    # sign flips ON triangle edges — allow only isolated pixels that sit
+    # on a visibility discontinuity of the oracle image, with the count
+    # bound scaling with image area (ADVICE r3).
     img_s = np.asarray(pallas_split.render(sc.flat, lin, sc.camera,
                                            sc.light, CFG))
     bad = np.abs(img_s - img_w).max(-1) > 2e-5
-    assert bad.sum() <= 4, f"{bad.sum()} pixels differ (edge flips only)"
+    allow = max(4, (CFG.width * CFG.height) // 192)
+    assert bad.sum() <= allow, \
+        f"{bad.sum()} pixels differ (> {allow}; edge flips only)"
+    if bad.any():
+        # every differing pixel must touch an oracle-image discontinuity
+        # (the triangle silhouette): dilated local gradient mask
+        lum = img_w.max(-1)
+        grad = np.zeros_like(lum, dtype=bool)
+        g = np.abs(np.diff(lum, axis=0)) > 0.02
+        grad[:-1] |= g
+        grad[1:] |= g
+        g = np.abs(np.diff(lum, axis=1)) > 0.02
+        grad[:, :-1] |= g
+        grad[:, 1:] |= g
+        near = grad.copy()
+        near[:-1] |= grad[1:]
+        near[1:] |= grad[:-1]
+        near[:, :-1] |= grad[:, 1:]
+        near[:, 1:] |= grad[:, :-1]
+        stray = bad & ~near
+        assert not stray.any(), \
+            f"{stray.sum()} differing pixels off any triangle edge"
 
     # ...and a STRICT pin on the raw-column test, which shares the
     # oracle's hit-point reassociation (ADVICE r2: keep one bit-tight
