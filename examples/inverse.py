@@ -155,6 +155,137 @@ def main_kernel(steps: int, lr: float):
     assert err < 0.1, f"center not recovered: {err}"
 
 
+def main_kernel_mesh(steps: int, lr: float):
+    """Mesh-geometry + light inverse fit THROUGH the production kernel
+    at full scene-1 scale (VERDICT r3 item 7): recover (a) a rigid
+    translation of the 968-triangle monkey mesh — gradients flow through
+    every vertex of every triangle row (update_dynamic tri-row refresh +
+    kernel_vjp re-derivation) — and (b) the light position, from pixels
+    alone. The reference can only hand-tune these live via ImGui
+    (src/main.cpp:384-429); here they are recovered automatically.
+    Writes INVERSE_kernel_r4.json."""
+    from raytracer_tpu.accel import build_bvh, linearize
+    from raytracer_tpu.diff.inverse import image_loss_pyramid
+    from raytracer_tpu.render import pallas_split
+    from raytracer_tpu.scenes import generate_scene1, meshgen
+
+    cfg = RenderConfig(width=800, height=600, max_bounces=3, use_bvh=True,
+                       ray_chunk=480000, tile_h=16, tile_w=128)
+    sc = generate_scene1()
+    bvh = linearize(build_bvh(sc.flat, sc.bvh_max_depth))
+    split = pallas_split.prepare(sc.flat, bvh)
+    renderer = make_kernel_renderer(bvh, split)
+
+    # From the reference demo camera the monkey is a sliver of a few
+    # hundred edge-on pixels — no translation basin for ANY pixel loss.
+    # Fit from a monkey-facing camera instead (same full production
+    # scene + kernel; inverse problems choose their viewpoints).
+    camera = cam_ops.look_at(
+        cam_ops.from_euler(position=(0.0, -6.0, -48.0), fov_deg=60,
+                           aspect=cfg.width / cfg.height),
+        (0.0, 0.0, -30.0))
+
+    # the monkey mesh occupies tri rows [1, 1+968) (generators.py: free
+    # triangle first, then add_triangles(monkey...))
+    n_monkey = len(meshgen.monkey_mesh())
+    mask = np.zeros((sc.flat.tri_p1.shape[0], 1), np.float32)
+    mask[1:1 + n_monkey] = 1.0
+    mask = jnp.asarray(mask)
+    base = (sc.flat.tri_p1, sc.flat.tri_p2, sc.flat.tri_p3)
+
+    def with_params(p):
+        dm = mask * p["delta"]
+        # recompute_tri_planes is REQUIRED for vertex gradients: plane t
+        # and shading normals read the stored plane fields (a rigid
+        # translation keeps n and only shifts d, but the general-edit
+        # path is the one a user would take)
+        s = sc.flat.replace(tri_p1=base[0] + dm, tri_p2=base[1] + dm,
+                            tri_p3=base[2] + dm).recompute_tri_planes()
+        light = Light(p["light"], sc.light.base_color, sc.light.intensity)
+        return s, light
+
+    true_light = np.asarray(sc.light.position)
+    p_true = {"delta": jnp.zeros(3, jnp.float32),
+              "light": jnp.asarray(true_light)}
+    # target through the SAME forward path as the fit (recomputed
+    # planes), so the loss floor is only the jit-fusion rounding
+    s_t, l_t = with_params(p_true)
+    target = jax.block_until_ready(renderer(s_t, camera, l_t, cfg))
+    write_png("inverse_mesh_target.png", np.asarray(target))
+
+    def loss_fn(p):
+        s, light = with_params(p)
+        img = renderer(s, camera, light, cfg)
+        # pyramid loss: plain MSE's silhouette-free vertex gradient
+        # pushes a displaced mesh AWAY (shrinking the mismatch area);
+        # the pooled scales restore a translation basin
+        return image_loss_pyramid(img, target)
+
+    p0 = {"delta": jnp.array([0.8, -0.6, 0.5], jnp.float32),
+          "light": jnp.asarray(true_light
+                               + np.array([2.5, -2.0, 1.5], np.float32))}
+    s0, l0 = with_params(p0)
+    write_png("inverse_mesh_init.png",
+              np.asarray(renderer(s0, camera, l0, cfg)))
+
+    import optax
+
+    opt = optax.adam(lr)
+    opt_state = opt.init(p0)
+
+    @jax.jit
+    def step(p, st):
+        val, g = jax.value_and_grad(loss_fn)(p)
+        upd, st = opt.update(g, st, p)
+        return optax.apply_updates(p, upd), st, val
+
+    t0 = time.perf_counter()
+    p, history, delta_hist, light_hist = p0, [], [], []
+    for _ in range(steps):
+        p, opt_state, val = step(p, opt_state)
+        history.append(float(val))
+        delta_hist.append(np.asarray(p["delta"]).tolist())
+        light_hist.append(np.asarray(p["light"]).tolist())
+    fit_s = time.perf_counter() - t0
+    s_fit, l_fit = with_params(p)
+    write_png("inverse_mesh_fit.png",
+              np.asarray(renderer(s_fit, camera, l_fit, cfg)))
+
+    loss_floor = float(jax.jit(loss_fn)(p_true))
+    delta_err = float(np.linalg.norm(np.asarray(p["delta"])))
+    light_err = float(np.linalg.norm(np.asarray(p["light"]) - true_light))
+    out = {
+        "config": "scene 1 (968-tri monkey rigid translation + light "
+                  "position), 800x600, 3 bounces, production split "
+                  "kernel, per-step update_dynamic refresh",
+        "device": str(jax.devices()[0]),
+        "steps": steps, "lr": lr, "fit_wall_s": round(fit_s, 1),
+        "loss_first": history[0], "loss_last": history[-1],
+        "loss_floor_at_true_params": loss_floor,
+        "init_delta": np.asarray(p0["delta"]).tolist(),
+        "recovered_delta": np.asarray(p["delta"]).tolist(),
+        "delta_err": delta_err,
+        "true_light": true_light.tolist(),
+        "init_light": np.asarray(p0["light"]).tolist(),
+        "recovered_light": np.asarray(p["light"]).tolist(),
+        "light_err": light_err,
+        "loss_curve": [round(h, 6) for h in history],
+        "delta_curve": delta_hist[:: max(1, steps // 20)],
+        "light_curve": light_hist[:: max(1, steps // 20)],
+    }
+    with open(os.path.join(os.path.dirname(__file__), "..",
+                           "INVERSE_kernel_r4.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: v for k, v in out.items()
+                      if not k.endswith("curve")}, indent=1))
+    excess0 = history[0] - loss_floor
+    excess1 = history[-1] - loss_floor
+    assert excess1 < 0.1 * excess0, \
+        f"mesh+light fit did not converge: {excess1} vs {excess0}"
+    assert delta_err < 0.15, f"mesh translation not recovered: {delta_err}"
+    assert light_err < 0.5, f"light not recovered: {light_err}"
+
+
 def main():
     cfg = RenderConfig(width=64, height=48, max_bounces=2, use_bvh=False,
                        ray_chunk=1024)
@@ -199,10 +330,16 @@ if __name__ == "__main__":
     ap.add_argument("--kernel", action="store_true",
                     help="fit through the production split kernel at "
                          "scene-1 scale (800x600; run on TPU)")
+    ap.add_argument("--kernel-mesh", action="store_true",
+                    help="mesh-translation + light-position fit through "
+                         "the production kernel (800x600; run on TPU)")
     ap.add_argument("--steps", type=int, default=60)
     ap.add_argument("--lr", type=float, default=None)
     args = ap.parse_args()
-    if args.kernel:
+    if args.kernel_mesh:
+        main_kernel_mesh(args.steps,
+                         args.lr if args.lr is not None else 0.05)
+    elif args.kernel:
         main_kernel(args.steps, args.lr if args.lr is not None else 0.1)
     else:
         main()

@@ -116,6 +116,36 @@ class FlatScene:
         return FlatScene(**{f: jnp.take(getattr(self, f), idx, axis=0)
                             for f in _FIELDS})
 
+    def recompute_tri_planes(self) -> "FlatScene":
+        """Differentiable plane refresh from triangle vertices — the
+        trace of the reference Triangle ctor (src/shapes/triangle.hpp:
+        84-130: normal = normalize(cross(p2-p1, p3-p1)), d = -n.p1) so a
+        vertex edit/optimization moves the WHOLE triangle geometry
+        consistently. Each triangle's original winding ORIENTATION is
+        preserved: triangles built with invert_normal or the
+        flip-toward-center heuristic keep their flipped sign (taken from
+        the currently stored normal, valid while the perturbation does
+        not rotate the plane past 90 degrees). NaN-safe for
+        non-triangle rows (zero vertices). Required before rendering a
+        scene whose tri_p1/p2/p3 were changed WITHOUT SceneBuilder —
+        gradients w.r.t. vertices are zero otherwise (plane t and
+        shading normals read these stored fields)."""
+        e1 = self.tri_p2 - self.tri_p1
+        e2 = self.tri_p3 - self.tri_p1
+        n = jnp.cross(e1, e2)
+        norm2 = jnp.sum(n * n, axis=-1, keepdims=True)
+        nn = n * jax.lax.rsqrt(jnp.where(norm2 > 0, norm2, 1.0))
+        # preserve original orientation (invert_normal / flip heuristic)
+        flip = jnp.where(
+            jnp.sum(nn * self.plane_normal, -1, keepdims=True) < 0,
+            -1.0, 1.0)
+        nn = nn * flip
+        is_tri = self.shape_type == TRIANGLE
+        pn = jnp.where(is_tri[:, None], nn, self.plane_normal)
+        pd = jnp.where(is_tri, -jnp.sum(pn * self.tri_p1, -1),
+                       self.plane_d)
+        return self.replace(plane_normal=pn, plane_d=pd)
+
 
 class _BulkRows:
     """Columnar block of ``count`` consecutive shapes (one add_triangles

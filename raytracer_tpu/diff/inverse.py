@@ -32,6 +32,31 @@ def image_loss(img: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(diff * diff)
 
 
+def image_loss_pyramid(img: jnp.ndarray, target: jnp.ndarray,
+                       scales=(1, 4, 16)) -> jnp.ndarray:
+    """Multi-scale MSE: the sum of MSEs over average-pooled copies of
+    both images. Geometry fits need this: hit DECISIONS are
+    stop-gradiented (kernel_vjp convention), so plain per-pixel MSE only
+    carries shading gradients inside the overlap region — its best
+    descent direction for a displaced object is often to SHRINK the
+    mismatch area (push the object away) rather than translate it. The
+    coarse scales blur the object into a blob whose pooled intensity
+    moves smoothly with position, restoring a translation basin the
+    silhouette-free gradient can follow. (H, W, 3) inputs; scales are
+    pooling widths, 1 = the plain MSE term."""
+    loss = jnp.float32(0.0)
+    for s in scales:
+        if s == 1:
+            loss = loss + image_loss(img, target)
+            continue
+        a = jax.lax.reduce_window(img, 0.0, jax.lax.add,
+                                  (s, s, 1), (s, s, 1), "VALID") / (s * s)
+        b = jax.lax.reduce_window(target, 0.0, jax.lax.add,
+                                  (s, s, 1), (s, s, 1), "VALID") / (s * s)
+        loss = loss + image_loss(a, b)
+    return loss
+
+
 def make_loss_fn(scene: FlatScene, camera: Camera, light: Light,
                  cfg: RenderConfig, target: jnp.ndarray,
                  param_fields: Iterable[str],

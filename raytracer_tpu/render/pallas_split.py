@@ -1302,7 +1302,8 @@ def _wholeframe_kernel(leaf_start_ref, leaf_count_ref, skip_ref,
                        m, n_other, n_sph, use_mt, use_gram, bounces, shadow_eps,
                        reflect_eps, use_fresnel, enable_shadows,
                        unroll=1, rid_values=None, raygen=None,
-                       emit_state=False, consume_state=False):
+                       emit_state=False, consume_state=False,
+                       consume_geom=None):
     """One tile's full Whitted trace (whitted.trace, bounce-unrolled).
     rays rows: o(3), d(3), bg(3). par (1, 24): light pos(3) + color(3)
     [+ camera pos/front/right/up (12), half_w, half_h when raygen].
@@ -1320,9 +1321,15 @@ def _wholeframe_kernel(leaf_start_ref, leaf_count_ref, skip_ref,
     tiles by an XLA payload sort between two launches.
     - emit_state: after the ``bounces`` loop, ALSO write the
       continuation state o(3), d(3), atten(3) to 9 extra out-refs.
-    - consume_state: rays rows are o(3), d(3), atten(3), bg(3) — the
-      per-pixel background rides the payload sort so misses composite
-      in-kernel exactly like the normal path."""
+    - consume_state: rays rows are o(3), d(3), atten(3), ret(1) — ret
+      is the ORIGINAL blocked pixel index (f32-exact, < 2^24), which
+      already rides the payload sort for the final un-sort; the
+      per-pixel background is re-derived from it in-kernel via
+      consume_geom = (h_img, tile_sz, bh, bw, n_bw) with bit-identical
+      arithmetic to the XLA background (same y/h + lerp op order), so
+      misses composite exactly like the normal path while the sort
+      carries 3 fewer payload columns (~1 ms/3-4 columns at 506K
+      rows)."""
     n_state = 9 if emit_state else 0
     state_refs = extra[:n_state]
     scratch = extra[n_state:]
@@ -1397,20 +1404,35 @@ def _wholeframe_kernel(leaf_start_ref, leaf_count_ref, skip_ref,
         dx = rays_ref[3, 0]
         dy = rays_ref[4, 0]
         dz = rays_ref[5, 0]
-        bgr = rays_ref[6, 0]
-        bgg = rays_ref[7, 0]
-        bgb = rays_ref[8, 0]
+        if consume_state:
+            # continuation: rows 6-8 are attenuation, row 9 the original
+            # blocked pixel index; bg is re-derived from it (docstring)
+            atr = rays_ref[6, 0]
+            atg = rays_ref[7, 0]
+            atb = rays_ref[8, 0]
+            retf = rays_ref[9, 0]
+            h_img, tile_sz, bh, bw, n_bw = consume_geom
+            tile_id = jnp.floor(retf / float(tile_sz))
+            rr = retf - tile_id * float(tile_sz)
+            by = jnp.floor(tile_id / float(n_bw))
+            row = jnp.floor(rr / float(bw))
+            yi = by * float(bh) + row
+            f_bg = yi / float(h_img)
+            bgr = shading.BG_DARK[0] + (shading.BG_SKY[0]
+                                        - shading.BG_DARK[0]) * f_bg
+            bgg = shading.BG_DARK[1] + (shading.BG_SKY[1]
+                                        - shading.BG_DARK[1]) * f_bg
+            bgb = shading.BG_DARK[2] + (shading.BG_SKY[2]
+                                        - shading.BG_DARK[2]) * f_bg
+        else:
+            bgr = rays_ref[6, 0]
+            bgg = rays_ref[7, 0]
+            bgb = rays_ref[8, 0]
 
     zero = jnp.zeros_like(ox)
     one = jnp.ones_like(ox)
     accr = accg = accb = zero
-    if consume_state:
-        # continuation: rows 6-8 were attenuation, rows 9-11 the bg
-        atr, atg, atb = bgr, bgg, bgb
-        bgr = rays_ref[9, 0]
-        bgg = rays_ref[10, 0]
-        bgb = rays_ref[11, 0]
-    else:
+    if not consume_state:
         atr = atg = atb = one
     alive = ox < 1e30  # primary rays are live unless padding-parked
 
@@ -1579,17 +1601,21 @@ def _wholeframe_render(split: SplitScene, attr_tab, light: Light,
 
     Hybrid sorted-continuation plumbing: emit_state returns
     (colors, [o(3), d(3), atten(3)] flat comps); consume_state takes
-    ``state`` (12 flat (R,) comps: o, d, atten, bg) instead of o/d/bg
-    and returns colors."""
+    ``state`` (10 flat (R,) comps: o, d, atten, ret-as-f32) plus
+    grid_shape (for the in-kernel bg re-derivation from ret) instead
+    of o/d/bg and returns colors."""
     interpret = _auto_interpret(cfg)
     th, tw = cfg.tile_h, cfg.tile_w
     tile = th * tw
     raygen = None
+    consume_geom = None
     if consume_state:
         r = state[0].shape[0]
         assert r % tile == 0
         g = r // tile
-        rays = jnp.stack(state).reshape(12, g, th, tw)
+        rays = jnp.stack(state).reshape(10, g, th, tw)
+        _, n_bw, bh, bw = grid_shape
+        consume_geom = (cfg.height, tile, bh, bw, n_bw)
         par = jnp.concatenate(
             [light.position, light.color,
              jnp.zeros(18, jnp.float32)]).astype(jnp.float32) \
@@ -1639,7 +1665,8 @@ def _wholeframe_render(split: SplitScene, attr_tab, light: Light,
         reflect_eps=float(cfg.reflect_eps),
         use_fresnel=cfg.use_fresnel, enable_shadows=cfg.enable_shadows,
         unroll=TRI_UNROLL, rid_values=rid_values, raygen=raygen,
-        emit_state=emit_state, consume_state=consume_state)
+        emit_state=emit_state, consume_state=consume_state,
+        consume_geom=consume_geom)
     if raygen is not None:
         def body(ls, lc, sk, nd, pr, tr, tb, pa, *outs):
             # rays_ref slot is None: rays are generated in-kernel
@@ -1670,7 +1697,7 @@ def _wholeframe_render(split: SplitScene, attr_tab, light: Light,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 24), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((12 if consume_state else 9, 1, th, tw),
+            pl.BlockSpec((10 if consume_state else 9, 1, th, tw),
                          lambda i, *_: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
@@ -1999,20 +2026,19 @@ def _render_impl(scene: FlatScene, split: SplitScene, camera, light,
         d2 = jnp.stack(state[3:6], axis=-1)
         ret0 = jnp.arange(state[0].shape[0], dtype=jnp.int32)
         key = whitted._bounce_sort_key(o2, d2, state[0] < 1e30)
-        ys = jnp.arange(h, dtype=jnp.float32) / h
-        bg = jnp.broadcast_to(shading.background(ys)[:, None, :],
-                              (h, w, 3))
-        bg_b = to_blocks(bg)
+        # bg does NOT ride the sort: the continuation kernel re-derives
+        # it from ret (consume_geom), saving 3 of the 14 payload
+        # columns (~1 ms/3-4 columns at 506K rows, NOTES_r4 model)
         s = jax.lax.sort(
-            (key,) + tuple(state)
-            + (bg_b[:, 0], bg_b[:, 1], bg_b[:, 2], ret0),
+            (key,) + tuple(state) + (ret0,),
             dimension=0, num_keys=1, is_stable=True)
         accb_ = _wholeframe_render(
             split, whitted._attr_table(scene), light, None, None, None,
-            cfg, bounces=cfg.max_bounces - 1, consume_state=True,
-            state=list(s[1:13]))
+            cfg, grid_shape=(hp // bh, wp // bw, bh, bw),
+            bounces=cfg.max_bounces - 1, consume_state=True,
+            state=list(s[1:10]) + [s[10].astype(jnp.float32)])
         u = jax.lax.sort(
-            (s[13], accb_[:, 0], accb_[:, 1], accb_[:, 2]),
+            (s[10], accb_[:, 0], accb_[:, 1], accb_[:, 2]),
             dimension=0, num_keys=1, is_stable=True)
         colors = acc1 + jnp.stack([u[1], u[2], u[3]], axis=-1)
         colors = colors.reshape(hp // bh, wp // bw, bh, bw, 3)

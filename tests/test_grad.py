@@ -77,21 +77,10 @@ def test_kernel_grads_match_oracle(field):
 
 
 def _recompute_planes(s):
-    """Differentiable plane refresh from triangle vertices — the trace of
-    the reference Triangle ctor (src/shapes/triangle.hpp:84-130: normal =
-    normalize(cross(p2-p1, p3-p1)), d = -n.p1) so a vertex perturbation
-    moves the WHOLE triangle geometry consistently, as an inverse-
-    rendering fit would. NaN-safe for non-triangle rows (zero vertices)."""
-    from raytracer_tpu.core.scene import TRIANGLE
-    e1 = s.tri_p2 - s.tri_p1
-    e2 = s.tri_p3 - s.tri_p1
-    n = jnp.cross(e1, e2)
-    norm2 = jnp.sum(n * n, axis=-1, keepdims=True)
-    nn = n * jax.lax.rsqrt(jnp.where(norm2 > 0, norm2, 1.0))
-    is_tri = (s.shape_type == TRIANGLE)
-    pn = jnp.where(is_tri[:, None], nn, s.plane_normal)
-    pd = jnp.where(is_tri, -jnp.sum(pn * s.tri_p1, -1), s.plane_d)
-    return s.replace(plane_normal=pn, plane_d=pd)
+    """Differentiable plane refresh from triangle vertices — now the
+    library method FlatScene.recompute_tri_planes (this alias keeps the
+    call sites readable)."""
+    return s.recompute_tri_planes()
 
 
 def _tri_scene():

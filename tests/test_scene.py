@@ -117,3 +117,44 @@ def test_pad_to_inert():
 def test_light_color():
     sc = generate_scene1()
     np.testing.assert_allclose(np.asarray(sc.light.color), [50, 50, 50])
+
+
+def test_recompute_tri_planes_preserves_orientation():
+    """FlatScene.recompute_tri_planes re-derives each triangle's plane
+    from its vertices (the reference Triangle ctor trace,
+    src/shapes/triangle.hpp:84-130) while PRESERVING stored winding
+    orientation — both invert_normal triangles and flip-toward-center
+    mesh triangles must keep their sign (scene 1 has both kinds)."""
+    b = SceneBuilder()
+    b.add_triangle((0, 0, -5), (1, 0, -5), (0, 1, -5))
+    b.add_triangle((0, 0, -7), (1, 0, -7), (0, 1, -7), invert_normal=True)
+    b.add_sphere((0, 0, -3), 1.0)
+    s = b.build()
+    r = s.recompute_tri_planes()
+    np.testing.assert_allclose(np.asarray(r.plane_normal),
+                               np.asarray(s.plane_normal), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r.plane_d),
+                               np.asarray(s.plane_d), atol=1e-5)
+
+    # the full scene-1 mix (968 flip-heuristic mesh triangles + one
+    # inverted free triangle): recompute must be a no-op within f32
+    sc = generate_scene1()
+    r1 = sc.flat.recompute_tri_planes()
+    np.testing.assert_allclose(np.asarray(r1.plane_normal),
+                               np.asarray(sc.flat.plane_normal), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r1.plane_d),
+                               np.asarray(sc.flat.plane_d), atol=2e-3)
+
+    # a rigid translation keeps n and shifts d by -n.delta
+    import jax.numpy as jnp
+    delta = jnp.array([0.5, -0.25, 0.125], jnp.float32)
+    moved = s.replace(tri_p1=s.tri_p1 + delta, tri_p2=s.tri_p2 + delta,
+                      tri_p3=s.tri_p3 + delta).recompute_tri_planes()
+    is_tri = np.asarray(s.shape_type) == TRIANGLE
+    np.testing.assert_allclose(np.asarray(moved.plane_normal)[is_tri],
+                               np.asarray(s.plane_normal)[is_tri],
+                               atol=1e-6)
+    exp_d = np.asarray(s.plane_d) - np.asarray(
+        (s.plane_normal * delta).sum(-1))
+    np.testing.assert_allclose(np.asarray(moved.plane_d)[is_tri],
+                               exp_d[is_tri], atol=1e-5)
