@@ -70,6 +70,18 @@ class RenderConfig:
     # the per-bounce whitted.trace path, which sorts between separate
     # per-bounce kernel launches.
     sort_bounces: bool = False
+    # With sort_bounces on the wholeframe hybrid: insert a SECOND
+    # re-pack between bounce 2 and 3 (3 launches), so bounce-3 rays get
+    # their own clustering instead of inheriting bounce-2's. The sort
+    # NETWORK itself is cheap (~0.14 ms for 14 columns at 506K rows,
+    # benchmarks/sort_cost_ab.py — the hybrid's "sort" budget is mostly
+    # the surrounding relayout glue); whether the extra launch + glue
+    # pays is scene-dependent, so this is a separate toggle. Only
+    # active when max_bounces >= 3 and the hybrid route is taken.
+    # Measured NEGATIVE on scene 2 (benchmarks/second_sort_ab.py, v5e:
+    # 66.6 vs 68.75 FPS, bit-exact) — bounce-3 re-clustering saves less
+    # than the third launch + re-pack glue costs; default stays off.
+    second_sort: bool = False
     # Gram-fused barycentric triangle test (v,w from precomputed
     # Ev/cv/Ew/cw row constants; 12 scalar loads vs 15, no hit point).
     # Same accept set in exact arithmetic; f32 reassociation can flip

@@ -2032,14 +2032,41 @@ def _render_impl(scene: FlatScene, split: SplitScene, camera, light,
         s = jax.lax.sort(
             (key,) + tuple(state) + (ret0,),
             dimension=0, num_keys=1, is_stable=True)
-        accb_ = _wholeframe_render(
-            split, whitted._attr_table(scene), light, None, None, None,
-            cfg, grid_shape=(hp // bh, wp // bw, bh, bw),
-            bounces=cfg.max_bounces - 1, consume_state=True,
-            state=list(s[1:10]) + [s[10].astype(jnp.float32)])
-        u = jax.lax.sort(
-            (s[10], accb_[:, 0], accb_[:, 1], accb_[:, 2]),
-            dimension=0, num_keys=1, is_stable=True)
+        if cfg.second_sort and cfg.max_bounces >= 3:
+            # 3-launch frame: bounce 2 alone (consume+emit), a SECOND
+            # re-pack keyed on the bounce-3 rays (acc2 and ret ride as
+            # payload), then bounces 3..n on the re-sorted stream. The
+            # final un-sort folds acc2 in (both are in s2 order).
+            acc2, st2 = _wholeframe_render(
+                split, whitted._attr_table(scene), light, None, None,
+                None, cfg, grid_shape=(hp // bh, wp // bw, bh, bw),
+                bounces=1, consume_state=True, emit_state=True,
+                state=list(s[1:10]) + [s[10].astype(jnp.float32)])
+            o3 = jnp.stack(st2[0:3], axis=-1)
+            d3 = jnp.stack(st2[3:6], axis=-1)
+            key2 = whitted._bounce_sort_key(o3, d3, st2[0] < 1e30)
+            s2 = jax.lax.sort(
+                (key2,) + tuple(st2)
+                + (acc2[:, 0], acc2[:, 1], acc2[:, 2], s[10]),
+                dimension=0, num_keys=1, is_stable=True)
+            accc = _wholeframe_render(
+                split, whitted._attr_table(scene), light, None, None,
+                None, cfg, grid_shape=(hp // bh, wp // bw, bh, bw),
+                bounces=cfg.max_bounces - 2, consume_state=True,
+                state=list(s2[1:10]) + [s2[13].astype(jnp.float32)])
+            u = jax.lax.sort(
+                (s2[13], accc[:, 0] + s2[10], accc[:, 1] + s2[11],
+                 accc[:, 2] + s2[12]),
+                dimension=0, num_keys=1, is_stable=True)
+        else:
+            accb_ = _wholeframe_render(
+                split, whitted._attr_table(scene), light, None, None,
+                None, cfg, grid_shape=(hp // bh, wp // bw, bh, bw),
+                bounces=cfg.max_bounces - 1, consume_state=True,
+                state=list(s[1:10]) + [s[10].astype(jnp.float32)])
+            u = jax.lax.sort(
+                (s[10], accb_[:, 0], accb_[:, 1], accb_[:, 2]),
+                dimension=0, num_keys=1, is_stable=True)
         colors = acc1 + jnp.stack([u[1], u[2], u[3]], axis=-1)
         colors = colors.reshape(hp // bh, wp // bw, bh, bw, 3)
         colors = colors.transpose(0, 2, 1, 3, 4).reshape(hp, wp, 3)

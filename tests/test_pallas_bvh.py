@@ -95,6 +95,13 @@ def test_sorted_continuation_matches_wholeframe(scene1):
         cfg.replace(sort_bounces=True)))
     np.testing.assert_allclose(img_b, img_a, atol=1e-6)
 
+    # the 3-launch double-sorted variant (cfg.second_sort): bounce-3
+    # rays re-packed by their own key; acc2/ret ride the second sort
+    img_c = np.asarray(pallas_split.render(
+        sc.flat, lin, sc.camera, sc.light,
+        cfg.replace(sort_bounces=True, second_sort=True)))
+    np.testing.assert_allclose(img_c, img_a, atol=1e-6)
+
 
 def test_scene3_kernels(scene1):
     sc = generate_scene3()
