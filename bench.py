@@ -48,6 +48,7 @@ EXTRA_BENCHES = [
     ("scene2_split", 780),
     ("scene1_anim", 600),
     ("scene2_anim", 600),
+    ("grad_split", 600),
 ]
 SCENE2_BASELINE_FPS = 10.0   # reference README.md:4, animated car scene
 
@@ -86,6 +87,56 @@ def _run_candidate(name: str):
         return [type(cam)(cam.position + 1e-4 * i, cam.front, cam.up,
                           cam.right, cam.fov_deg, cam.aspect)
                 for i in range(n)]
+
+    if name == "grad_split":
+        # Backward-pass timing through the production kernel (BASELINE.md
+        # row 2: "fwd/bwd ratio reported per config"): loss + grad w.r.t.
+        # a sphere center + its material color via diff/kernel_vjp, full
+        # scene 1 at 800x600. Reported as fwd_ms / fwd_bwd_ms / ratio.
+        import jax.numpy as jnp
+
+        from raytracer_tpu.diff import make_kernel_renderer
+        from raytracer_tpu.render import pallas_split
+
+        sc = generate_scene1()
+        bvh = linearize(build_bvh(sc.flat, sc.bvh_max_depth))
+        split = pallas_split.prepare(sc.flat, bvh)
+        renderer = make_kernel_renderer(bvh, split)
+        target = jax.block_until_ready(
+            renderer(sc.flat, sc.camera, sc.light, cfg))
+
+        def loss_fn(p):
+            s = sc.flat.replace(
+                sphere_center=sc.flat.sphere_center.at[0].set(p["center"]),
+                mat_color=sc.flat.mat_color.at[0].set(p["color"]))
+            img = renderer(s, sc.camera, sc.light, cfg)
+            return jnp.mean((img - target) ** 2)
+
+        p0 = {"center": sc.flat.sphere_center[0] + 0.3,
+              "color": sc.flat.mat_color[0] * 0.8}
+        fwd = jax.jit(loss_fn)
+        vg = jax.jit(jax.value_and_grad(loss_fn))
+        jax.block_until_ready(fwd(p0))
+        jax.block_until_ready(vg(p0))
+
+        def timed(f, n=10):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                jax.block_until_ready(f(p0))
+            return (time.perf_counter() - t0) / n * 1e3
+
+        fwd_ms = timed(fwd)
+        fwdbwd_ms = timed(vg)
+        _, g = vg(p0)
+        grad_ok = bool(jnp.isfinite(g["center"]).all()
+                       and jnp.abs(g["center"]).sum() > 0)
+        print(json.dumps({"__bench__": name, "fps": round(1e3 / fwdbwd_ms, 3),
+                          "fwd_ms": round(fwd_ms, 2),
+                          "fwd_bwd_ms": round(fwdbwd_ms, 2),
+                          "bwd_over_fwd": round(fwdbwd_ms / fwd_ms, 3),
+                          "grad_nonzero_finite": grad_ok,
+                          "device": str(jax.devices()[0])}))
+        return
 
     if name in ("scene2_split", "scene1_anim", "scene2_anim"):
         scene_id = 2 if name.startswith("scene2") else 1
@@ -327,7 +378,13 @@ def main():
                 details[name] = err
                 continue
             details[name] = round(line["fps"], 3)
-            details[name + "_streams"] = line.get("fps_streams")
+            if name == "grad_split":
+                details["grad"] = {
+                    k: line.get(k) for k in
+                    ("fwd_ms", "fwd_bwd_ms", "bwd_over_fwd",
+                     "grad_nonzero_finite")}
+            else:
+                details[name + "_streams"] = line.get("fps_streams")
 
     # Cross-subprocess sanity (round-3 postmortem): the animated scene-1
     # stream does strictly MORE work per frame than the static headline
@@ -395,6 +452,8 @@ def main():
         out["scene1_animated_fps"] = details["scene1_anim"]
     if isinstance(details.get("scene2_anim"), float):
         out["scene2_animated_fps"] = details["scene2_anim"]
+    if isinstance(details.get("grad"), dict):
+        out["grad"] = details["grad"]
     # Op-count/roofline distance to speed-of-light, from the committed
     # walk-iteration census (benchmarks/roofline.py writes ROOFLINE.json:
     # exact packet-walk iteration counts for this exact config replayed

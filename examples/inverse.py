@@ -196,11 +196,17 @@ def main_kernel_mesh(steps: int, lr: float):
             (0.0, 0.0, -30.0)),
     ]
 
-    # the monkey mesh occupies tri rows [1, 1+968) (generators.py: free
-    # triangle first, then add_triangles(monkey...))
+    # Monkey rows derived from the scene's shape-type layout (ADVICE r4:
+    # scene 1 packs 4 spheres + the mirror wall BEFORE the first triangle,
+    # so the monkey occupies SHAPE rows [6, 6+968), not [1, 969)). The
+    # free triangle (generators.py adds it first) is triangle #0; the
+    # monkey is the next n_monkey triangle ids.
+    from raytracer_tpu.core.scene import TRIANGLE
     n_monkey = len(meshgen.monkey_mesh())
+    tri_ids = np.nonzero(np.asarray(sc.flat.shape_type) == TRIANGLE)[0]
+    monkey_ids = tri_ids[1:1 + n_monkey]
     mask = np.zeros((sc.flat.tri_p1.shape[0], 1), np.float32)
-    mask[1:1 + n_monkey] = 1.0
+    mask[monkey_ids] = 1.0
     mask = jnp.asarray(mask)
     base = (sc.flat.tri_p1, sc.flat.tri_p2, sc.flat.tri_p3)
 

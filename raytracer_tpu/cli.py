@@ -197,6 +197,11 @@ def cmd_play(args):
       bounces N             max reflection depth (ImGui slider,
                             main.cpp:377-379; recompiles on first use)
       fresnel on|off        Fresnel reflection toggle (main.cpp:380-382)
+      bvh on|off            BVH traversal toggle (ImGui useBVH checkbox,
+                            main.cpp:377-382; builds the tree lazily and
+                            re-prepares the split tables on first flip)
+      mt on|off             Moller-Trumbore triangle test toggle
+                            (main.cpp:400-407; recompiles on first use)
       renderer NAME         switch renderer mid-session (any --renderer
                             choice; pallas-split re-prepares once)
       wait                  render a frame with no input
@@ -213,6 +218,7 @@ def cmd_play(args):
     cfg, sc, bvh = _build(args)
     cam = sc.camera
     renderer = args.renderer
+    bvh_full = bvh      # built tree kept across `bvh off` -> `bvh on`
     split = None
     if renderer == "pallas-split":
         # persistent prepared scene: live material edits refresh it via
@@ -266,6 +272,28 @@ def cmd_play(args):
             elif parts[0] == "fresnel":
                 cfg = cfg.replace(
                     use_fresnel=parts[1].lower() in ("on", "1", "true"))
+            elif parts[0] == "bvh":
+                # mid-session useBVH flip (main.cpp:377-382): identical
+                # state to launching with/without --no-bvh — the tree is
+                # built lazily on the first `on`, the non-BVH shadow
+                # epsilon/semantics follow cfg.use_bvh, and the prepared
+                # split tables are re-prepared so their leaf-box gates
+                # track the toggle
+                on = parts[1].lower() in ("on", "1", "true")
+                cfg = cfg.replace(use_bvh=on)
+                if on and bvh_full is None:
+                    from raytracer_tpu.accel import build_bvh, linearize
+                    bvh_full = linearize(build_bvh(sc.flat,
+                                                   sc.bvh_max_depth))
+                bvh = bvh_full if on else None
+                if split is not None:
+                    from raytracer_tpu.render import pallas_split
+                    split = pallas_split.prepare(sc.flat, bvh)
+            elif parts[0] == "mt":
+                # mid-session useMollerTrumbore flip (main.cpp:400-407);
+                # a config change -> fresh traced program on first use
+                cfg = cfg.replace(
+                    use_mt=parts[1].lower() in ("on", "1", "true"))
             elif parts[0] == "renderer":
                 name = parts[1]
                 known = ("wavefront", "reference", "cpu", "pallas",

@@ -112,6 +112,70 @@ def trace_sharded_split(scene: FlatScene, split, light: Light, o, d, bg,
     )(scene, split, light, o, d, bg)
 
 
+def trace_sharded_strips(scene: FlatScene, split, camera: Camera,
+                         light: Light, cfg: RenderConfig, mesh: Mesh):
+    """The wholeframe PRODUCTION route under the mesh: the image is cut
+    into horizontal strips of whole pixel-block rows, one strip per
+    device, and each shard runs the EXACT single-chip production kernel
+    configuration — in-kernel raygen and, with cfg.sort_bounces, the
+    sorted-continuation hybrid (pallas_split._render_blocks) — on its
+    strip. The strip's pixel-row offset rides the kernel's parameter row
+    (par[0,20]), so every shard generates its strip's true global rays
+    and backgrounds. Bit-exact vs the 1-device render: per-lane
+    traversal and shading results are independent of both the strip
+    decomposition and the per-strip sort grouping (packet composition
+    never changes a lane's own result — the hybrid's own exactness
+    argument). Matches the reference's one-kernel-everywhere property
+    (gpu_shader.comp:433 runs identically for any dispatch sub-grid)."""
+    from raytracer_tpu.render import pallas_split
+    from raytracer_tpu.render.pallas_bvh import _block_shape
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    h, w = cfg.height, cfg.width
+    bh, bw = _block_shape(cfg.tile_h * cfg.tile_w)
+    n_bh = -(-h // bh)
+    n_bh_pad = -(-n_bh // n_dev) * n_dev   # whole block-rows per device
+    rows_per_dev = n_bh_pad // n_dev
+    wp = -(-w // bw) * bw
+
+    def shard_fn(scene_, split_, cam_, light_):
+        idx = jax.lax.axis_index(axis)
+        y_off = (idx * (rows_per_dev * bh)).astype(jnp.float32)
+        return pallas_split._render_blocks(
+            scene_, split_, cam_, light_, cfg,
+            (rows_per_dev, wp // bw, bh, bw), y_off=y_off)
+
+    out = shard_map(shard_fn, mesh=mesh,
+                    in_specs=(P(), P(), P(), P()),
+                    out_specs=P(axis), check_vma=False)(
+        scene, split, camera, light)
+    return out[:h, :w]
+
+
+def _wholeframe_route_ok(cfg: RenderConfig, differentiable: bool) -> bool:
+    """True iff the single-chip production router (_render_impl) would
+    take a wholeframe in-kernel-raygen route for this config — the
+    sharded strip path must make the identical choice so 8-dev and 1-dev
+    renders run the same program."""
+    from raytracer_tpu.render import pallas_split
+    from raytracer_tpu.render.pallas_bvh import _block_shape
+
+    bh, bw = _block_shape(cfg.tile_h * cfg.tile_w)
+    use_wholeframe = (pallas_split.USE_WHOLEFRAME and not differentiable
+                      and not pallas_split.USE_KERNEL_ATTRS
+                      and not pallas_split.USE_OCCLUSION)
+    raygen_ok = (pallas_split.USE_KERNEL_RAYGEN and bw & (bw - 1) == 0
+                 and cfg.tile_w & (cfg.tile_w - 1) == 0)
+    if not (use_wholeframe and raygen_ok):
+        return False
+    if not cfg.sort_bounces:
+        return True
+    hp = -(-cfg.height // bh) * bh
+    wp = -(-cfg.width // bw) * bw
+    return cfg.max_bounces >= 2 and hp * wp < 2 ** 24
+
+
 def _frame_rays(camera: Camera, cfg: RenderConfig, n_dev: int):
     """Flattened padded (o, d, bg) for a full frame, divisible by n_dev."""
     h, w = cfg.height, cfg.width
@@ -149,7 +213,18 @@ def render_sharded_split(scene: FlatScene, split, camera: Camera,
                          light: Light, cfg: RenderConfig, mesh: Mesh,
                          differentiable: bool = False) -> jnp.ndarray:
     """Full-frame PRODUCTION render (split Pallas kernel) with pixels
-    sharded over the mesh. (H, W, 3)."""
+    sharded over the mesh. (H, W, 3).
+
+    Routes exactly like the single-chip production renderer: when
+    _render_impl would take a wholeframe in-kernel-raygen route
+    (including the cfg.sort_bounces sorted-continuation hybrid — the
+    configuration behind the headline scene-2 number), the frame is
+    strip-sharded and each device runs that same route on its strip
+    (trace_sharded_strips); otherwise rays are fed through the
+    per-bounce whitted.trace path as before (fed-rays kernels, the
+    differentiable route)."""
+    if _wholeframe_route_ok(cfg, differentiable):
+        return trace_sharded_strips(scene, split, camera, light, cfg, mesh)
     h, w = cfg.height, cfg.width
     o, d, bg, n_rays = _frame_rays(camera, cfg, mesh.devices.size)
     colors = trace_sharded_split(scene, split, light, o, d, bg, cfg, mesh,

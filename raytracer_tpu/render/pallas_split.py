@@ -1357,7 +1357,12 @@ def _wholeframe_kernel(leaf_start_ref, leaf_count_ref, skip_ref,
         rr = a * float(tw) + b          # ray index within the block
         row = jnp.floor(rr / float(bw))
         col = rr - row * float(bw)
-        yi = y0 + row
+        # par[0,20]: pixel-row offset of this kernel's WINDOW within the
+        # full image (0 for a whole-frame launch; dev*strip_h under the
+        # sharded strip decomposition — parallel/sharding.py). Added
+        # before the NDC/background math so every shard generates its
+        # strip's true global rays.
+        yi = y0 + row + par_ref[0, 20]
         xi = x0 + col
         ndc_x = 2.0 * xi / float(w_img) - 1.0
         ndc_y = 1.0 - 2.0 * yi / float(h_img)
@@ -1415,8 +1420,11 @@ def _wholeframe_kernel(leaf_start_ref, leaf_count_ref, skip_ref,
             tile_id = jnp.floor(retf / float(tile_sz))
             rr = retf - tile_id * float(tile_sz)
             by = jnp.floor(tile_id / float(n_bw))
+            # ret is window-local; par[0,20] re-globalizes the pixel row
+            # (see the raygen branch) so strip shards derive the same
+            # background as a whole-frame launch
             row = jnp.floor(rr / float(bw))
-            yi = by * float(bh) + row
+            yi = by * float(bh) + row + par_ref[0, 20]
             f_bg = yi / float(h_img)
             bgr = shading.BG_DARK[0] + (shading.BG_SKY[0]
                                         - shading.BG_DARK[0]) * f_bg
@@ -1593,7 +1601,7 @@ def _wholeframe_kernel(leaf_start_ref, leaf_count_ref, skip_ref,
 def _wholeframe_render(split: SplitScene, attr_tab, light: Light,
                        o, d, bg, cfg: RenderConfig, camera=None,
                        grid_shape=None, bounces=None, emit_state=False,
-                       consume_state=False, state=None):
+                       consume_state=False, state=None, y_off=0.0):
     """Trace blocked rays o/d/bg (R, 3) to final colors (R, 3) in one
     pallas launch (see _wholeframe_kernel). With camera+grid_shape
     given (USE_KERNEL_RAYGEN), o/d/bg are None and rays are generated
@@ -1618,7 +1626,9 @@ def _wholeframe_render(split: SplitScene, attr_tab, light: Light,
         consume_geom = (cfg.height, tile, bh, bw, n_bw)
         par = jnp.concatenate(
             [light.position, light.color,
-             jnp.zeros(18, jnp.float32)]).astype(jnp.float32) \
+             jnp.zeros(14, jnp.float32),
+             jnp.reshape(jnp.asarray(y_off, jnp.float32), (1,)),
+             jnp.zeros(3, jnp.float32)]).astype(jnp.float32) \
             .reshape(1, 24)
     elif camera is not None:
         n_bh, n_bw, bh, bw = grid_shape
@@ -1637,7 +1647,8 @@ def _wholeframe_render(split: SplitScene, attr_tab, light: Light,
             [light.position, light.color, camera.position, camera.front,
              camera.right, camera.up,
              jnp.stack([half_w, half_h]).reshape(2),
-             jnp.zeros(4, jnp.float32)]).astype(jnp.float32).reshape(1, 24)
+             jnp.reshape(jnp.asarray(y_off, jnp.float32), (1,)),
+             jnp.zeros(3, jnp.float32)]).astype(jnp.float32).reshape(1, 24)
     else:
         r = o.shape[0]
         pad = (-r) % tile
@@ -1965,6 +1976,101 @@ def make_closest_hit(split: SplitScene, cfg: RenderConfig):
     return closest_hit
 
 
+def _render_blocks(scene: FlatScene, split: SplitScene, camera, light,
+                   cfg: RenderConfig, grid_shape, y_off=0.0):
+    """Wholeframe-kernel render of a WINDOW of (n_bh x n_bw) pixel blocks
+    with in-kernel raygen — the production route, reusable per shard.
+    ``y_off`` is the pixel-row offset of the window within the full
+    cfg.height image (0 for a whole-frame launch; dev*strip_h under the
+    strip-sharded mesh decomposition, parallel/sharding.py) and may be a
+    traced scalar (jax.lax.axis_index-derived). Takes the sorted-
+    continuation hybrid when cfg.sort_bounces allows (see _render_impl's
+    route notes); returns un-blocked (n_bh*bh, n_bw*bw, 3) colors."""
+    n_bh, n_bw, bh, bw = grid_shape
+    attr_tab = whitted._attr_table(scene)
+    # f32-exact window-local ray index bound for the hybrid's ret column
+    hybrid = (cfg.sort_bounces and cfg.max_bounces >= 2
+              and (n_bh * bh) * (n_bw * bw) < 2 ** 24)
+    if hybrid:
+        # HYBRID SORTED CONTINUATION: bounce 1 runs the wholeframe
+        # kernel (in-kernel raygen/resolve/shading) and emits the
+        # reflection rays + attenuation; an XLA payload sort re-packs
+        # those divergent rays into coherent tiles (parked lanes
+        # compacted into whole skippable tiles); a second wholeframe
+        # launch finishes bounces 2..n on the sorted stream. Per-lane
+        # HIT DECISIONS are bit-exact vs the unsorted frame (packet
+        # composition never changes a lane's traversal result); colors
+        # are equal up to f32 add reassociation — the two-launch split
+        # plus the deferred background add re-associates the
+        # accumulation (the parity test pins atol=1e-6, not equality).
+        # Census basis: 83-88% of leaf tests come from the divergent
+        # waves; sorting cuts their leaf visits 2.7x (scene 2,
+        # benchmarks/sort_eval.py).
+        acc1, state = _wholeframe_render(
+            split, attr_tab, light, None, None, None,
+            cfg, camera=camera, grid_shape=grid_shape,
+            bounces=1, emit_state=True, y_off=y_off)
+        o2 = jnp.stack(state[0:3], axis=-1)
+        d2 = jnp.stack(state[3:6], axis=-1)
+        ret0 = jnp.arange(state[0].shape[0], dtype=jnp.int32)
+        key = whitted._bounce_sort_key(o2, d2, state[0] < 1e30)
+        # bg does NOT ride the sort: the continuation kernel re-derives
+        # it from ret (consume_geom), saving 3 of the 14 payload
+        # columns (~1 ms/3-4 columns at 506K rows, NOTES_r4 model)
+        s = jax.lax.sort(
+            (key,) + tuple(state) + (ret0,),
+            dimension=0, num_keys=1, is_stable=True)
+        if cfg.second_sort and cfg.max_bounces >= 3:
+            # 3-launch frame: bounce 2 alone (consume+emit), a SECOND
+            # re-pack keyed on the bounce-3 rays (acc2 and ret ride as
+            # payload), then bounces 3..n on the re-sorted stream. The
+            # final un-sort folds acc2 in (both are in s2 order).
+            acc2, st2 = _wholeframe_render(
+                split, attr_tab, light, None, None,
+                None, cfg, grid_shape=grid_shape,
+                bounces=1, consume_state=True, emit_state=True,
+                state=list(s[1:10]) + [s[10].astype(jnp.float32)],
+                y_off=y_off)
+            o3 = jnp.stack(st2[0:3], axis=-1)
+            d3 = jnp.stack(st2[3:6], axis=-1)
+            key2 = whitted._bounce_sort_key(o3, d3, st2[0] < 1e30)
+            s2 = jax.lax.sort(
+                (key2,) + tuple(st2)
+                + (acc2[:, 0], acc2[:, 1], acc2[:, 2], s[10]),
+                dimension=0, num_keys=1, is_stable=True)
+            accc = _wholeframe_render(
+                split, attr_tab, light, None, None,
+                None, cfg, grid_shape=grid_shape,
+                bounces=cfg.max_bounces - 2, consume_state=True,
+                state=list(s2[1:10]) + [s2[13].astype(jnp.float32)],
+                y_off=y_off)
+            u = jax.lax.sort(
+                (s2[13], accc[:, 0] + s2[10], accc[:, 1] + s2[11],
+                 accc[:, 2] + s2[12]),
+                dimension=0, num_keys=1, is_stable=True)
+        else:
+            accb_ = _wholeframe_render(
+                split, attr_tab, light, None, None,
+                None, cfg, grid_shape=grid_shape,
+                bounces=cfg.max_bounces - 1, consume_state=True,
+                state=list(s[1:10]) + [s[10].astype(jnp.float32)],
+                y_off=y_off)
+            u = jax.lax.sort(
+                (s[10], accb_[:, 0], accb_[:, 1], accb_[:, 2]),
+                dimension=0, num_keys=1, is_stable=True)
+        colors = acc1 + jnp.stack([u[1], u[2], u[3]], axis=-1)
+    else:
+        # rays + background generated in-kernel from the pixel iota,
+        # skipping the XLA raygen pipeline (camera_rays + 3 to_blocks
+        # relayouts + bg broadcast) entirely.
+        colors = _wholeframe_render(
+            split, attr_tab, light, None, None, None,
+            cfg, camera=camera, grid_shape=grid_shape, y_off=y_off)
+    colors = colors.reshape(n_bh, n_bw, bh, bw, 3)
+    return colors.transpose(0, 2, 1, 3, 4).reshape(n_bh * bh,
+                                                   n_bw * bw, 3)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "differentiable"))
 def _render_impl(scene: FlatScene, split: SplitScene, camera, light,
                  cfg: RenderConfig, differentiable: bool = False):
@@ -1999,89 +2105,22 @@ def _render_impl(scene: FlatScene, split: SplitScene, camera, light,
     # tile widths (ADVICE r2): fall back to fed rays otherwise
     raygen_ok = USE_KERNEL_RAYGEN and bw & (bw - 1) == 0 \
         and cfg.tile_w & (cfg.tile_w - 1) == 0
+    # The hybrid carries the original blocked pixel index as f32 through
+    # the payload sort (exact only below 2^24 pixels); beyond that, fall
+    # through to the per-bounce whitted.trace sort path, which carries
+    # int32 indices (ADVICE r4: a >16.7M-pixel render would otherwise
+    # silently composite wrong backgrounds for post-sort misses).
+    hybrid_ret_exact = hp * wp < 2 ** 24
     if use_wholeframe and cfg.sort_bounces and raygen_ok \
-            and cfg.max_bounces >= 2:
-        # HYBRID SORTED CONTINUATION: bounce 1 runs the wholeframe
-        # kernel (in-kernel raygen/resolve/shading) and emits the
-        # reflection rays + attenuation; an XLA payload sort re-packs
-        # those divergent rays into coherent tiles (parked lanes
-        # compacted into whole skippable tiles); a second wholeframe
-        # launch finishes bounces 2..n on the sorted stream. Background
-        # for post-sort misses is composited at the end in ORIGINAL
-        # order from the kernel's miss-weighted attenuation (pixel
-        # identity is lost inside the sorted stream). Per-lane HIT
-        # DECISIONS are bit-exact vs the unsorted frame (packet
-        # composition never changes a lane's traversal result); colors
-        # are equal up to f32 add reassociation — the two-launch split
-        # plus the deferred background add re-associates the
-        # accumulation (the parity test pins atol=1e-6, not equality).
-        # Census basis: 83-88% of leaf tests come from the
-        # divergent waves; sorting cuts their leaf visits 2.7x (scene 2,
-        # benchmarks/sort_eval.py).
-        acc1, state = _wholeframe_render(
-            split, whitted._attr_table(scene), light, None, None, None,
-            cfg, camera=camera, grid_shape=(hp // bh, wp // bw, bh, bw),
-            bounces=1, emit_state=True)
-        o2 = jnp.stack(state[0:3], axis=-1)
-        d2 = jnp.stack(state[3:6], axis=-1)
-        ret0 = jnp.arange(state[0].shape[0], dtype=jnp.int32)
-        key = whitted._bounce_sort_key(o2, d2, state[0] < 1e30)
-        # bg does NOT ride the sort: the continuation kernel re-derives
-        # it from ret (consume_geom), saving 3 of the 14 payload
-        # columns (~1 ms/3-4 columns at 506K rows, NOTES_r4 model)
-        s = jax.lax.sort(
-            (key,) + tuple(state) + (ret0,),
-            dimension=0, num_keys=1, is_stable=True)
-        if cfg.second_sort and cfg.max_bounces >= 3:
-            # 3-launch frame: bounce 2 alone (consume+emit), a SECOND
-            # re-pack keyed on the bounce-3 rays (acc2 and ret ride as
-            # payload), then bounces 3..n on the re-sorted stream. The
-            # final un-sort folds acc2 in (both are in s2 order).
-            acc2, st2 = _wholeframe_render(
-                split, whitted._attr_table(scene), light, None, None,
-                None, cfg, grid_shape=(hp // bh, wp // bw, bh, bw),
-                bounces=1, consume_state=True, emit_state=True,
-                state=list(s[1:10]) + [s[10].astype(jnp.float32)])
-            o3 = jnp.stack(st2[0:3], axis=-1)
-            d3 = jnp.stack(st2[3:6], axis=-1)
-            key2 = whitted._bounce_sort_key(o3, d3, st2[0] < 1e30)
-            s2 = jax.lax.sort(
-                (key2,) + tuple(st2)
-                + (acc2[:, 0], acc2[:, 1], acc2[:, 2], s[10]),
-                dimension=0, num_keys=1, is_stable=True)
-            accc = _wholeframe_render(
-                split, whitted._attr_table(scene), light, None, None,
-                None, cfg, grid_shape=(hp // bh, wp // bw, bh, bw),
-                bounces=cfg.max_bounces - 2, consume_state=True,
-                state=list(s2[1:10]) + [s2[13].astype(jnp.float32)])
-            u = jax.lax.sort(
-                (s2[13], accc[:, 0] + s2[10], accc[:, 1] + s2[11],
-                 accc[:, 2] + s2[12]),
-                dimension=0, num_keys=1, is_stable=True)
-        else:
-            accb_ = _wholeframe_render(
-                split, whitted._attr_table(scene), light, None, None,
-                None, cfg, grid_shape=(hp // bh, wp // bw, bh, bw),
-                bounces=cfg.max_bounces - 1, consume_state=True,
-                state=list(s[1:10]) + [s[10].astype(jnp.float32)])
-            u = jax.lax.sort(
-                (s[10], accb_[:, 0], accb_[:, 1], accb_[:, 2]),
-                dimension=0, num_keys=1, is_stable=True)
-        colors = acc1 + jnp.stack([u[1], u[2], u[3]], axis=-1)
-        colors = colors.reshape(hp // bh, wp // bw, bh, bw, 3)
-        colors = colors.transpose(0, 2, 1, 3, 4).reshape(hp, wp, 3)
+            and cfg.max_bounces >= 2 and hybrid_ret_exact:
+        # sorted-continuation hybrid (route notes in _render_blocks)
+        colors = _render_blocks(scene, split, camera, light, cfg,
+                                (hp // bh, wp // bw, bh, bw))
         return colors[:h, :w]
     use_wholeframe = use_wholeframe and not cfg.sort_bounces
     if use_wholeframe and raygen_ok:
-        # rays + background generated in-kernel from the pixel iota,
-        # skipping the XLA raygen pipeline (camera_rays + 3 to_blocks
-        # relayouts + bg broadcast) entirely.
-        colors = _wholeframe_render(
-            split, whitted._attr_table(scene), light, None, None, None,
-            cfg, camera=camera,
-            grid_shape=(hp // bh, wp // bw, bh, bw))
-        colors = colors.reshape(hp // bh, wp // bw, bh, bw, 3)
-        colors = colors.transpose(0, 2, 1, 3, 4).reshape(hp, wp, 3)
+        colors = _render_blocks(scene, split, camera, light, cfg,
+                                (hp // bh, wp // bw, bh, bw))
         return colors[:h, :w]
 
     # Block-order ray GENERATION in XLA (emit rays directly in tile lane

@@ -120,3 +120,37 @@ def test_play_feature_toggles(tmp_path, capsys):
     # the wavefront renderer agrees with the oracle on the same config
     np.testing.assert_allclose(imgs[3].astype(int), imgs[2].astype(int),
                                atol=1)
+
+
+def test_play_bvh_mt_toggles(tmp_path, capsys):
+    """Mid-session useBVH / useMollerTrumbore flips (the last ImGui knobs,
+    main.cpp:377-382 useBVH checkbox, :400-407 MT checkbox): `bvh off`
+    re-prepares the production split tables without leaf-box gates (the
+    scene-1 floor quirk-wall goes infinite, shadow eps 1e-3 -> 1e-5) and
+    `bvh on` restores the exact starting state; `mt on` switches the
+    triangle test for subsequent frames."""
+    from raytracer_tpu.io.image import read_png
+
+    script = tmp_path / "session.txt"
+    script.write_text(
+        "wait\n"        # frame 0: BVH on (default)
+        "bvh off\n"     # frame 1: linear-scan semantics
+        "bvh on\n"      # frame 2: must round-trip to frame 0 exactly
+        "mt on\n"       # frame 3: Moller-Trumbore triangle test
+        "quit\n")
+    d = str(tmp_path / "frames")
+    cli.main(["play", "--scene", "1", "--width", "32", "--height", "24",
+              "--renderer", "pallas-split", "--script", str(script),
+              "--out-dir", d])
+    out = capsys.readouterr().out.strip().splitlines()
+    stats = [json.loads(l) for l in out if l.startswith("{")]
+    assert len(stats) == 4
+    frames = sorted(os.listdir(d))
+    assert frames == [f"play_{i:04d}.png" for i in range(4)]
+    imgs = [read_png(os.path.join(d, f)) for f in frames]
+    # BVH off: the degenerate floor wall loses its reference leaf-box
+    # clip (renders as a true infinite plane) and the shadow epsilon
+    # changes -> the frame differs
+    assert np.abs(imgs[1].astype(int) - imgs[0].astype(int)).max() > 0
+    # flipping back restores the exact starting configuration
+    np.testing.assert_array_equal(imgs[2], imgs[0])

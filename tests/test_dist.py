@@ -160,10 +160,16 @@ def test_sharded_split_stream_no_per_frame_sync():
 
     ref = jax.block_until_ready(render_sharded_split(
         sc.flat, split, sc.camera, sc.light, cfg, mesh))  # warm/compile
-    t0 = time.perf_counter()
-    jax.block_until_ready(render_sharded_split(
-        sc.flat, split, sc.camera, sc.light, cfg, mesh))
-    t_frame = time.perf_counter() - t0
+    # median of 3 timed frames (ADVICE r4): a single fast-outlier
+    # t_frame on a loaded xdist host can flake the qualitative
+    # dispatch-vs-stream comparison below
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(render_sharded_split(
+            sc.flat, split, sc.camera, sc.light, cfg, mesh))
+        samples.append(time.perf_counter() - t0)
+    t_frame = sorted(samples)[1]
 
     n = 4
     t0 = time.perf_counter()
@@ -181,3 +187,36 @@ def test_sharded_split_stream_no_per_frame_sync():
          f"{t_frame:.3f}s: per-frame sync?")
     for img in outs:
         np.testing.assert_array_equal(np.asarray(img), np.asarray(ref))
+
+
+def test_sharded_hybrid_scene2_matches_production():
+    """The configuration behind the headline scene-2 number — wholeframe
+    kernel + cfg.sort_bounces sorted-continuation hybrid — run UNDER THE
+    MESH (VERDICT r4 item 1): the 8-device strip-sharded render must
+    match both the 1-device mesh render and the single-chip production
+    renderer (pallas_split.render) on the same config. Uses scene 2
+    (the divergence-heavy scene the hybrid exists for) at a reduced
+    resolution."""
+    from raytracer_tpu.render import pallas_split
+    from raytracer_tpu.scenes import generate_scene2
+
+    sc = generate_scene2(aspect=160 / 96)
+    cfg = RenderConfig(width=160, height=96, max_bounces=3, use_bvh=True,
+                       tile_h=8, tile_w=128, sort_bounces=True)
+    bvh = linearize(build_bvh(sc.flat, sc.bvh_max_depth))
+    split = pallas_split.prepare(sc.flat, bvh)
+
+    img_8 = np.asarray(render_sharded_split(
+        sc.flat, split, sc.camera, sc.light, cfg, make_mesh(8)))
+    img_1 = np.asarray(render_sharded_split(
+        sc.flat, split, sc.camera, sc.light, cfg, make_mesh(1)))
+    img_prod = np.asarray(pallas_split.render(
+        sc.flat, bvh, sc.camera, sc.light, cfg, split=split))
+    # strip decomposition changes only the sort grouping; per-lane
+    # results are exact (the hybrid's own exactness argument), so the
+    # mesh renders agree bit-for-bit
+    np.testing.assert_array_equal(img_8, img_1)
+    # vs the single-chip production router: same route, same kernels;
+    # the per-strip vs whole-frame launch only re-associates the f32
+    # background/accum adds
+    np.testing.assert_allclose(img_8, img_prod, atol=1e-6)
