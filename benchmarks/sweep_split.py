@@ -25,7 +25,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from raytracer_tpu.accel import build_bvh, linearize
 from raytracer_tpu.config import RenderConfig
-from raytracer_tpu.render import pallas_split
+from raytracer_tpu.render import pallas_split, split_scene
 from raytracer_tpu.scenes import generate_scene1
 
 # (TRI_UNROLL, TRI_LEAF_TARGET, tile_h, tile_w)
@@ -64,7 +64,7 @@ def main():
         if idx < args.skip:
             continue
         pallas_split.TRI_UNROLL = u
-        pallas_split.TRI_LEAF_TARGET = leaf
+        split_scene.TRI_LEAF_TARGET = leaf
         pallas_split._render_impl.clear_cache()
         cfg = RenderConfig(width=800, height=600, max_bounces=3,
                            use_bvh=True, ray_chunk=480000,

@@ -22,7 +22,7 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 import numpy as np
 
 from raytracer_tpu.accel import build_bvh, linearize
-from raytracer_tpu.render import pallas_split
+from raytracer_tpu.render import pallas_split, split_scene
 from raytracer_tpu.scenes import generate_scene
 import importlib.util
 
@@ -84,14 +84,14 @@ def main():
 
     import raytracer_tpu.accel.sah as sah_mod
     results = {}
-    old_leaf = pallas_split.SAH_LEAF_TARGET
+    old_leaf = split_scene.SAH_LEAF_TARGET
     old_build = sah_mod.build_sah
     try:
         for v in args.variants.split(","):
             base = "sbvh" if v.startswith("sbvh") else "sah"
             rest = v[len(base):]
             leaf, _, refs = rest.partition("x")
-            pallas_split.SAH_LEAF_TARGET = int(leaf)
+            split_scene.SAH_LEAF_TARGET = int(leaf)
             if refs:
                 sah_mod.build_sah = (
                     lambda *a, _f=float(refs), **k: old_build(
@@ -105,7 +105,7 @@ def main():
             results[v] = r
             print(json.dumps({v: r}), flush=True)
     finally:
-        pallas_split.SAH_LEAF_TARGET = old_leaf
+        split_scene.SAH_LEAF_TARGET = old_leaf
         sah_mod.build_sah = old_build
     best = min(results, key=lambda k: results[k]["est_vreg_ops"])
     print(json.dumps({"best": best, "ranking": sorted(

@@ -357,6 +357,286 @@ def main_kernel_mesh(steps: int, lr: float):
     assert light_err < 0.5, f"light not recovered: {light_err}"
 
 
+def main_kernel_deform(steps: int, lr: float):
+    """NON-RIGID mesh inverse fit through the production kernel (VERDICT
+    r4 item 7): recover a smooth PER-VERTEX deformation of the 968-tri
+    monkey from two rendered views, with Laplacian (umbrella)
+    regularization over the welded vertex graph. Extends the rigid
+    --kernel-mesh fit: instead of 3 translation parameters, every welded
+    mesh vertex carries its own 3-vector offset (~500x3 parameters);
+    gradients flow through every triangle row via the per-step
+    update_dynamic refresh + kernel_vjp re-derivation. Writes
+    INVERSE_deform_r5.json + PNGs."""
+    from raytracer_tpu.accel import build_bvh, linearize
+    from raytracer_tpu.core.scene import TRIANGLE
+    from raytracer_tpu.diff.inverse import image_loss_pyramid
+    from raytracer_tpu.render import pallas_split
+    from raytracer_tpu.scenes import generate_scene1, meshgen
+
+    cfg = RenderConfig(width=800, height=600, max_bounces=3, use_bvh=True,
+                       ray_chunk=480000, tile_h=16, tile_w=128)
+    sc = generate_scene1()
+    bvh = linearize(build_bvh(sc.flat, sc.bvh_max_depth))
+    split = pallas_split.prepare(sc.flat, bvh)
+    renderer = make_kernel_renderer(bvh, split)
+
+    # same two monkey-facing viewpoints as the rigid fit (depth of a
+    # deformation is unobservable from one view under the
+    # stop-gradiented-hits convention)
+    cameras = [
+        cam_ops.look_at(
+            cam_ops.from_euler(position=(0.0, -6.0, -48.0), fov_deg=60,
+                               aspect=cfg.width / cfg.height),
+            (0.0, 0.0, -30.0)),
+        cam_ops.look_at(
+            cam_ops.from_euler(position=(-18.0, -6.0, -30.0), fov_deg=60,
+                               aspect=cfg.width / cfg.height),
+            (0.0, 0.0, -30.0)),
+    ]
+
+    # ---- weld the triangle soup into a vertex graph --------------------
+    # FlatScene stores triangle soup (tri_p1/p2/p3 rows); per-vertex
+    # deformation needs shared vertices. Weld by quantized position.
+    n_monkey = len(meshgen.monkey_mesh())
+    tri_ids = np.nonzero(np.asarray(sc.flat.shape_type) == TRIANGLE)[0]
+    monkey_ids = tri_ids[1:1 + n_monkey]        # skip the free triangle
+    corners = np.stack([np.asarray(sc.flat.tri_p1)[monkey_ids],
+                        np.asarray(sc.flat.tri_p2)[monkey_ids],
+                        np.asarray(sc.flat.tri_p3)[monkey_ids]],
+                       axis=1)                   # (T, 3 corners, 3)
+    flatc = corners.reshape(-1, 3)
+    keys = np.round(flatc / 1e-4).astype(np.int64)
+    _, vid_flat, counts = np.unique(keys, axis=0, return_inverse=True,
+                                    return_counts=True)
+    vid = vid_flat.reshape(-1, 3)                # (T, 3) vertex ids
+    n_vert = int(vid_flat.max()) + 1
+    base_vert = np.zeros((n_vert, 3), np.float32)
+    base_vert[vid_flat] = flatc                  # last write wins (welded)
+
+    # umbrella Laplacian from triangle edges: L x = sum_j (x_i - x_j)/deg
+    edges = set()
+    for t in range(vid.shape[0]):
+        a, b, c = int(vid[t, 0]), int(vid[t, 1]), int(vid[t, 2])
+        for e in ((a, b), (b, c), (c, a)):
+            if e[0] != e[1]:
+                edges.add((min(e), max(e)))
+    edges = np.asarray(sorted(edges), np.int32)  # (E, 2)
+    deg = np.zeros(n_vert, np.float32)
+    np.add.at(deg, edges[:, 0], 1.0)
+    np.add.at(deg, edges[:, 1], 1.0)
+    ei = jnp.asarray(edges[:, 0])
+    ej = jnp.asarray(edges[:, 1])
+    degj = jnp.asarray(np.maximum(deg, 1.0))
+
+    def laplacian(x):
+        # (V, 3) -> (V, 3): x_i - mean over neighbors
+        nbr_sum = (jnp.zeros((n_vert, 3), jnp.float32)
+                   .at[ei].add(x[ej]).at[ej].add(x[ei]))
+        return x - nbr_sum / degj[:, None]
+
+    vid1 = jnp.asarray(vid[:, 0])
+    vid2 = jnp.asarray(vid[:, 1])
+    vid3 = jnp.asarray(vid[:, 2])
+    mids = jnp.asarray(monkey_ids)
+    base = (sc.flat.tri_p1, sc.flat.tri_p2, sc.flat.tri_p3)
+
+    def with_offsets(off):
+        p1 = base[0].at[mids].add(off[vid1])
+        p2 = base[1].at[mids].add(off[vid2])
+        p3 = base[2].at[mids].add(off[vid3])
+        return sc.flat.replace(tri_p1=p1, tri_p2=p2,
+                               tri_p3=p3).recompute_tri_planes()
+
+    # ---- ground-truth deformation: a smooth sinusoidal bump ------------
+    bv = jnp.asarray(base_vert)
+    center = bv.mean(0)
+    rel = bv - center
+    true_off = jnp.stack([
+        0.35 * jnp.sin(rel[:, 1] * 1.1),
+        0.30 * jnp.cos(rel[:, 0] * 0.9),
+        0.25 * jnp.sin(rel[:, 0] * 0.8 + rel[:, 1] * 0.6),
+    ], axis=-1).astype(jnp.float32)
+    true_rms = float(jnp.sqrt(jnp.mean(true_off ** 2)))
+
+    s_t = with_offsets(true_off)
+    targets = [jax.block_until_ready(renderer(s_t, c, sc.light, cfg))
+               for c in cameras]
+    write_png("inverse_deform_target.png", np.asarray(targets[0]))
+    write_png("inverse_deform_init.png", np.asarray(
+        renderer(with_offsets(jnp.zeros_like(true_off)), cameras[0],
+                 sc.light, cfg)))
+
+    lam = 2.0   # Laplacian weight: smoothness prior over the vertex graph
+
+    def loss_fn(off):
+        s = with_offsets(off)
+        loss = 0.0
+        for c, t in zip(cameras, targets):
+            img = renderer(s, c, sc.light, cfg)
+            loss = loss + image_loss_pyramid(img, t)
+        data = loss / len(cameras)
+        reg = jnp.mean(jnp.sum(laplacian(off) ** 2, -1))
+        return data + lam * reg, (data, reg)
+
+    import optax
+
+    opt = optax.chain(optax.clip_by_global_norm(1.0),
+                      optax.adam(optax.cosine_decay_schedule(lr, steps)))
+    p = jnp.zeros_like(true_off)
+    opt_state = opt.init(p)
+
+    @jax.jit
+    def step(p, st):
+        (val, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        upd, st = opt.update(g, st, p)
+        return optax.apply_updates(p, upd), st, val, aux
+
+    t0 = time.perf_counter()
+    history, best = [], (float("inf"), p)
+    for _ in range(steps):
+        p, opt_state, val, aux = step(p, opt_state)
+        history.append(float(val))
+        if history[-1] < best[0]:
+            best = (history[-1], p)
+    fit_s = time.perf_counter() - t0
+    p = best[1]
+    write_png("inverse_deform_fit.png", np.asarray(
+        renderer(with_offsets(p), cameras[0], sc.light, cfg)))
+
+    err_rms = float(jnp.sqrt(jnp.mean((p - true_off) ** 2)))
+    init_rms = true_rms   # distance of the zero init from truth
+    out = {
+        "config": "scene 1 monkey (968 tris, welded vertices): per-vertex "
+                  "deformation + Laplacian reg, TWO 800x600 views, "
+                  "production split kernel, per-step update_dynamic",
+        "device": str(jax.devices()[0]),
+        "n_vertices": n_vert, "n_edges": int(edges.shape[0]),
+        "steps": steps, "lr": lr, "laplacian_weight": lam,
+        "fit_wall_s": round(fit_s, 1),
+        "loss_first": history[0], "loss_last": history[-1],
+        "loss_best": best[0], "best_step": int(np.argmin(history)),
+        "true_offset_rms": true_rms,
+        "init_vertex_rms_err": init_rms,
+        "recovered_vertex_rms_err": err_rms,
+        "recovered_over_init": round(err_rms / init_rms, 4),
+        "loss_curve": [round(h, 6) for h in history],
+    }
+    with open(os.path.join(os.path.dirname(__file__), "..",
+                           "INVERSE_deform_r5.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: v for k, v in out.items()
+                      if not k.endswith("curve")}, indent=1))
+    assert err_rms < 0.5 * init_rms, \
+        f"deformation not recovered: rms {err_rms} vs init {init_rms}"
+
+
+def main_kernel_camera(steps: int, lr: float):
+    """Camera-POSE inverse fit through the production kernel (VERDICT r4
+    item 5): recover the camera position + yaw/pitch of scene 1's demo
+    view from pixels alone. The reference's camera is driven by hand
+    (WASD/mouse, src/camera.hpp:124-148); here the pose is recovered by
+    gradient descent — the differentiable analogue of 'walk until the
+    view matches'. Pose is parameterized exactly like the reference
+    (position + Euler yaw/pitch, camera.hpp:21-26); the basis is rebuilt
+    per step with the differentiable _vectors_from_euler chain. Writes
+    INVERSE_camera_r5.json + PNGs."""
+    from raytracer_tpu.accel import build_bvh, linearize
+    from raytracer_tpu.diff.inverse import image_loss_pyramid
+    from raytracer_tpu.render import pallas_split
+    from raytracer_tpu.scenes import generate_scene1
+
+    cfg = RenderConfig(width=800, height=600, max_bounces=3, use_bvh=True,
+                       ray_chunk=480000, tile_h=16, tile_w=128)
+    sc = generate_scene1()
+    bvh = linearize(build_bvh(sc.flat, sc.bvh_max_depth))
+    split = pallas_split.prepare(sc.flat, bvh)
+    renderer = make_kernel_renderer(bvh, split)
+
+    yaw_t, pitch_t = (float(v) for v in cam_ops.yaw_pitch_of(sc.camera))
+    pos_t = np.asarray(sc.camera.position, np.float32)
+    p_true = {"pos": jnp.asarray(pos_t), "yaw": jnp.float32(yaw_t),
+              "pitch": jnp.float32(pitch_t)}
+
+    def cam_of(p):
+        return cam_ops.from_euler(position=p["pos"], yaw=p["yaw"],
+                                  pitch=p["pitch"], fov_deg=60.0,
+                                  aspect=cfg.width / cfg.height)
+
+    target = jax.block_until_ready(
+        renderer(sc.flat, cam_of(p_true), sc.light, cfg))
+    write_png("inverse_camera_target.png", np.asarray(target))
+
+    def loss_fn(p):
+        img = renderer(sc.flat, cam_of(p), sc.light, cfg)
+        return image_loss_pyramid(img, target)
+
+    # perturbation sized to the pyramid loss's pose basin: ~1 unit of
+    # translation + ~3 degrees of look direction (at this scene scale
+    # the whole image shifts by tens of pixels)
+    p0 = {"pos": jnp.asarray(pos_t + np.array([0.8, -0.6, 0.7],
+                                              np.float32)),
+          "yaw": jnp.float32(yaw_t + 2.5),
+          "pitch": jnp.float32(pitch_t - 1.8)}
+    write_png("inverse_camera_init.png",
+              np.asarray(renderer(sc.flat, cam_of(p0), sc.light, cfg)))
+
+    import optax
+
+    opt = optax.chain(optax.clip_by_global_norm(1.0),
+                      optax.adam(optax.cosine_decay_schedule(lr, steps)))
+    opt_state = opt.init(p0)
+
+    @jax.jit
+    def step(p, st):
+        val, g = jax.value_and_grad(loss_fn)(p)
+        upd, st = opt.update(g, st, p)
+        return optax.apply_updates(p, upd), st, val
+
+    t0 = time.perf_counter()
+    p, history = p0, []
+    best = (float("inf"), p0)
+    for _ in range(steps):
+        p, opt_state, val = step(p, opt_state)
+        history.append(float(val))
+        if history[-1] < best[0]:
+            best = (history[-1], p)
+    fit_s = time.perf_counter() - t0
+    p = best[1]
+    write_png("inverse_camera_fit.png",
+              np.asarray(renderer(sc.flat, cam_of(p), sc.light, cfg)))
+
+    loss_floor = float(jax.jit(loss_fn)(p_true))
+    pos_err = float(np.linalg.norm(np.asarray(p["pos"]) - pos_t))
+    yaw_err = abs(float(p["yaw"]) - yaw_t)
+    pitch_err = abs(float(p["pitch"]) - pitch_t)
+    out = {
+        "config": "scene 1 camera pose (position + yaw/pitch), 800x600, "
+                  "3 bounces, production split kernel",
+        "device": str(jax.devices()[0]),
+        "steps": steps, "lr": lr, "fit_wall_s": round(fit_s, 1),
+        "loss_first": history[0], "loss_last": history[-1],
+        "loss_best": best[0], "best_step": int(np.argmin(history)),
+        "loss_floor_at_true_pose": loss_floor,
+        "true_pos": pos_t.tolist(),
+        "init_pos": np.asarray(p0["pos"]).tolist(),
+        "recovered_pos": np.asarray(p["pos"]).tolist(),
+        "pos_err": pos_err,
+        "true_yaw_pitch": [yaw_t, pitch_t],
+        "init_yaw_pitch": [float(p0["yaw"]), float(p0["pitch"])],
+        "recovered_yaw_pitch": [float(p["yaw"]), float(p["pitch"])],
+        "yaw_err_deg": yaw_err, "pitch_err_deg": pitch_err,
+        "loss_curve": [round(h, 6) for h in history],
+    }
+    with open(os.path.join(os.path.dirname(__file__), "..",
+                           "INVERSE_camera_r5.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: v for k, v in out.items()
+                      if not k.endswith("curve")}, indent=1))
+    assert pos_err < 0.05, f"camera position not recovered: {pos_err}"
+    assert yaw_err < 0.05 and pitch_err < 0.05, \
+        f"camera angles not recovered: {yaw_err}, {pitch_err}"
+
+
 def main():
     cfg = RenderConfig(width=64, height=48, max_bounces=2, use_bvh=False,
                        ray_chunk=1024)
@@ -404,10 +684,22 @@ if __name__ == "__main__":
     ap.add_argument("--kernel-mesh", action="store_true",
                     help="mesh-translation + light-position fit through "
                          "the production kernel (800x600; run on TPU)")
+    ap.add_argument("--kernel-camera", action="store_true",
+                    help="camera-pose (position + yaw/pitch) fit through "
+                         "the production kernel (800x600; run on TPU)")
+    ap.add_argument("--kernel-deform", action="store_true",
+                    help="per-vertex mesh deformation fit with Laplacian "
+                         "regularization (800x600; run on TPU)")
     ap.add_argument("--steps", type=int, default=60)
     ap.add_argument("--lr", type=float, default=None)
     args = ap.parse_args()
-    if args.kernel_mesh:
+    if args.kernel_deform:
+        main_kernel_deform(args.steps,
+                           args.lr if args.lr is not None else 0.03)
+    elif args.kernel_camera:
+        main_kernel_camera(args.steps,
+                           args.lr if args.lr is not None else 0.02)
+    elif args.kernel_mesh:
         main_kernel_mesh(args.steps,
                          args.lr if args.lr is not None else 0.05)
     elif args.kernel:

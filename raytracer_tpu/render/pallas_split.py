@@ -29,19 +29,39 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from raytracer_tpu.accel import bvh as bvh_mod
-from raytracer_tpu.accel.linearize import LinearBVH, linearize, \
-    shape_leaf_boxes
 from raytracer_tpu.config import RenderConfig
 from raytracer_tpu.core import camera as cam_ops
-from raytracer_tpu.core.scene import FlatScene, SPHERE, TRIANGLE
+from raytracer_tpu.core.scene import FlatScene
 from raytracer_tpu.core.types import Camera, Light
-from raytracer_tpu.geom import rowwise
-from raytracer_tpu.geom.aabb import shape_aabbs, shape_centers
 from raytracer_tpu.geom.direct import INF
 from raytracer_tpu.render import shading, whitted
 from raytracer_tpu.render.pallas_bvh import _block_shape
 from raytracer_tpu.render.pallas_kernel import _auto_interpret
+# Scene preparation (SplitScene row tables, canonical material grouping,
+# per-frame device refreshers) lives in render/split_scene.py; the row
+# layout constants are the packer<->kernel contract. Re-exported here so
+# callers keep the historical `pallas_split.prepare(...)` etc. API.
+from raytracer_tpu.render.split_scene import (  # noqa: F401
+    G_GID, G_B0X, G_B0Y, G_B0Z, G_B1X, G_B1Y, G_B1Z,
+    G_MCR, G_MCG, G_MCB, G_MKA, G_MKD, G_MKS, G_MKF, G_MSH, G_RID, PRE_W,
+    T_NX, T_NY, T_NZ, T_PD, T_E1X, T_E1Y, T_E1Z, T_E2X, T_E2Y, T_E2Z,
+    T_P1X, T_P1Y, T_P1Z, T_S0, T_S1, T_R11, T_R01, T_R00, T_GID,
+    T_MCR, T_MCG, T_MCB, T_MKA, T_MKD, T_MKS, T_MKF, T_MSH, T_RID,
+    T_EVX, T_EVY, T_EVZ, T_CV, T_EWX, T_EWY, T_EWZ, T_CW, TRI_W,
+    SplitScene, TRI_LEAF_TARGET, _auto_tri_depth, _canonical_material_ids,
+    prepare, update_pre_rows, update_tri_rows, update_dynamic,
+    update_materials)
+from raytracer_tpu.render import split_scene as _split_scene_mod
+
+
+def __getattr__(name):
+    # TRI_BUILDER / SAH_LEAF_TARGET are mutable sweep knobs owned by
+    # split_scene; forward attribute reads so historical
+    # `pallas_split.SAH_LEAF_TARGET` benchmark probes keep seeing the
+    # live value (writes must target split_scene directly).
+    if name in ("TRI_BUILDER", "SAH_LEAF_TARGET"):
+        return getattr(_split_scene_mod, name)
+    raise AttributeError(name)
 
 # Shadow rays via the any-hit occlusion kernel; measured slower than
 # closest-hit shadows on v5e in round 1 — keep switchable for re-testing.
@@ -57,99 +77,12 @@ USE_KERNEL_ATTRS = False
 # half the frame across 3 waves).
 USE_RESOLVE_KERNEL = True
 
-# Pruned round-2 (VERDICT item 9) after on-chip measurements:
-# - component-SoA pipeline (USE_SOA_PIPELINE/whitted_soa.py): SLOWER
-#   (13.0 vs 16.3 FPS) — XLA lays out (R, 3) fine.
-# - cond-split state machine (USE_COND_STEP/_cond_kernel): exactly
-#   neutral — the loop is iteration-latency bound, so halving the
-#   per-iteration vector work changes nothing.
-# - SMEM-tables kernel (_split_kernel_smem): 1-ulp correct in interpret
-#   mode but the v5e remote Mosaic toolchain compiles it pathologically
-#   slowly (>15 min), which also wedges the SHARED compile service —
-#   disqualified for production and too risky to keep re-testing.
-# - full-Whitted megakernel (pallas_mega.py): exact but 265 ms vs 59 ms —
-#   the 12-vector attr carry makes each traversal iteration too fat.
-# - ANY-HIT occlusion re-test for the fused kernel's shadow leg (occluded
-#   lanes stop probing, beyond-light subtrees culled, optional whole-loop
-#   exit once every lane is occluded; bit-exact — closest_t < limit iff
-#   some hit t < limit): SLOWER on v5e scene 1 than simply re-running the
-#   closest pass, 13.77 vs 13.38 ms/frame (14.45 with the whole-loop
-#   exit, whose cross-lane any() adds serial latency every iteration).
-# - Morton-grouped sphere pre-pass gated by a conservative per-tile ray-
-#   bundle test (union AABB per group of 8/16/32 spheres, lax.cond skip).
-#   The straight-line sphere pre-pass costs ~0.18 ms/sphere/frame
-#   (measured by scaling scene 1's background-sphere count: 29/16/8/4
-#   spheres -> 13.3/12.0/9.6/8.8 ms), and forcing every gate false shows
-#   a 7.85 ms floor — but no sound predicate recovered it: an interval/
-#   slab direction test degenerates whenever a tile's direction interval
-#   straddles 0 on an axis (most tiles), and a bounding-cone test (apex
-#   sphere over live origins, mean-direction axis, max-angle aperture vs
-#   group bounding sphere) measured 13.89/13.66/13.29 ms at group size
-#   8/16/32 vs 13.29 at HEAD — the per-pass cross-lane reductions eat
-#   exactly what the skips save (scene 2: 13.48 vs 13.70 FPS, also a
-#   wash). The pre-pass cost is origin/direction-diverse bounce+shadow
-#   passes, where any whole-tile bundle is too fat to cull.
-# - STATIC BRUTE for divergent walks (skip the hierarchy for bounce 2/3
-#   rays: a fully unrolled, control-free, tree-reduced pass over all
-#   1211 triangles — benchmarks/brute_walk_ab.py): bit-exact but 3.0x
-#   SLOWER than the walk on the bounce-2 stream (3.87 vs 1.30 ms). The
-#   decisive calibration: the compare/select-heavy intersection mix
-#   achieves only ~2.0e9 vreg-ops/s in situ (~15% of the pure-FMA
-#   microbenchmark peak), so 'latency-bound iterations whose vector work
-#   rides free' stops being true for op counts this large — and at that
-#   achieved rate the whole frame's 10.3M vreg-ops are ~5.1 ms, close to
-#   the 7.6 ms profiler-measured kernel busy time. The kernel is near
-#   its ACHIEVABLE roofline; wins must come from fewer ops.
-# - GROUPED one-level walk (replace the tree with ~16 contiguous DFS-
-#   span groups: 16 INDEPENDENT slab probes + any()s, then a static
-#   lax.cond chain of per-group test blocks — benchmarks/
-#   group_walk_ab.py). Rationale: every while iteration costs ~0.29us
-#   of serial any->scalar->branch latency (benchmarks/iter_latency.py),
-#   so independent probes should pipeline. Measured: +1.9% on the
-#   coherent primary stream (fixed per-tile cost dominates there), 0.76x
-#   on the divergent bounce-2 stream (testing every probed group's full
-#   span loses to hierarchical skipping). Dead end.
-# - OCTANT-ORDERED traversal (8 near-child-first DFS linearizations,
-#   per-tile majority-sign pick — benchmarks/ordered_walk_eval.py):
-#   iteration census shows only 1.1% fewer iterations — packet any-lane
-#   semantics visit the union of 2048 lanes' subtrees regardless of
-#   order, so earlier t-tightening prunes almost nothing. Dead end.
-# - MULTI-STATE lockstep walks (round 4, benchmarks/dual_walk_ab.py):
-#   K independent (ptr,k,t,gid) state machines advance K tiles (or K
-#   row-slices of one tile) through ONE while loop, overlapping their
-#   any()->scalar latencies. All bit-exact; all LOSE: cross-tile K=2/4
-#   spill registers (each (16,128) side carries ~24 vregs; 2.4-5x
-#   slower), and 2x(8,128) sub-tiles of the SAME tile (flat register
-#   cost) still measure ~+20% — the per-side lax.cond machinery costs
-#   more than the overlapped latency saves.
-# - PROBE-ALL BITMASK walk (round 4, benchmarks/bitmask_walk_ab.py):
-#   probe all m node boxes up front (m independent slab tests + any()s,
-#   no branches between them -> pipelined), bits to SMEM scratch; the
-#   walk then branches on scalar SMEM bits with zero vector work on
-#   internal iterations. Exact (probes use the pre-pass t_best, a
-#   conservative superset; tightening prunes ~1.1% per the octant
-#   census). Measured NEUTRAL on the divergent bounce-2 stream (-2%)
-#   and slightly negative on the coherent primary stream: under the
-#   leaf-cond walk Mosaic already overlaps the probe/any latency with
-#   leaf vector work well enough that removing it buys nothing.
-#   Operational lesson from both: stream-level A/B absolute times on
-#   this attachment are only comparable WITHIN one quiet process
-#   (interleaved min-of-rounds; any concurrent host/TPU work inflates
-#   dispatch by 2-3x) — and a per-walk pallas_call pays ~0.9ms of
-#   grid/launch floor the production megakernel amortizes over 6 walks.
-# - Software-pipelined walk merging for the whole-frame kernel: bounce
-#   b's shadow walk and bounce b+1's closest walk are independent (the
-#   reflected ray needs the resolved material, not the shadow bit), so
-#   both were interleaved into ONE while loop (6 walk phases -> 4, state
-#   = 6 vectors + 4 scalars, per-side completion masked at ptr == m).
-#   SLOWER: 14.47 vs 11.81 ms/frame on v5e scene 1 — walking the two
-#   sides SEPARATELY through the same masked machinery measures 11.87,
-#   so the machinery is free and the merge itself is the loss: the walk
-#   is now THROUGHPUT-bound (640 masked vector ops per U=16 iteration),
-#   and a merged loop runs max(iterA, iterB) iterations of BOTH sides'
-#   work — the unbalanced remainder is pure waste. Consistent with the
-#   U=32 sweep losing (13.1 ms): per-iteration vector work is no longer
-#   hidden under iteration latency at U=16.
+# Measured dead ends (component-SoA pipeline, cond-split state machine,
+# SMEM-tables kernel, full-Whitted 12-vector megakernel, any-hit
+# occlusion shadows, bundle-gated sphere pre-pass, static brute walks,
+# grouped/octant-ordered/multi-state/bitmask walks, software-pipelined
+# walk merging, MXU triangle tests, argsort+gather re-ordering):
+# docs/KERNEL_NOTES.md. Do not retry without new information.
 
 # Triangle tests per traversal iteration. The while loop is ITERATION-
 # latency bound (A/B: halving per-iteration vector work via USE_COND_STEP
@@ -163,40 +96,6 @@ USE_RESOLVE_KERNEL = True
 # U=16; U=48 (95.2), U=24 (85.5 — sublane-misaligned), leaf 64 (98.6),
 # leaf 192/256 m=25 (100.5), tiles 8x128 (83.2) / 32x128 (99.4) all lose.
 TRI_UNROLL = 32
-
-# Target leaf size of the triangle-only BVH (any tree is exact — see
-# module docstring). The default tri_max_depth is derived from this so
-# leaves hold a few TRI_UNROLL batches regardless of scene size.
-# 128 (round-2 re-sweep): scene 1's tree is identical at 96 and 128
-# (m=49), while scene 2 drops from depth 7/m=191 to depth 6/m=127 —
-# 31.8 -> 30.4 ms on v5e (fewer iterations wins; the walk is iteration-
-# latency bound). Depth 8/9 and U=64 at depth 6 all measured worse.
-TRI_LEAF_TARGET = 128
-
-
-def _canonical_material_ids(scene: FlatScene) -> np.ndarray:
-    """canon[g] = min gid over shapes whose material 8-tuple is bitwise
-    identical to shape g's (see the T_RID note above)."""
-    mat = np.stack([
-        np.asarray(scene.mat_color[:, 0]),
-        np.asarray(scene.mat_color[:, 1]),
-        np.asarray(scene.mat_color[:, 2]),
-        np.asarray(scene.mat_ambient), np.asarray(scene.mat_diffuse),
-        np.asarray(scene.mat_specular), np.asarray(scene.mat_fresnel),
-        np.asarray(scene.mat_shininess),
-    ], axis=1)
-    _, inv = np.unique(mat, axis=0, return_inverse=True)
-    first = np.full(inv.max() + 1 if inv.size else 1, -1, np.int64)
-    for g in range(scene.num_shapes - 1, -1, -1):
-        first[inv[g]] = g
-    return first[inv]
-
-
-def _auto_tri_depth(n_tri: int) -> int:
-    import math
-    if n_tri <= TRI_LEAF_TARGET:
-        return 1
-    return 1 + max(1, math.ceil(math.log2(n_tri / TRI_LEAF_TARGET)))
 
 # Fully unroll the non-triangle pre-pass fori_loop (same iteration-
 # latency argument as TRI_UNROLL; the pre-pass is ~1ms per traversal at
@@ -218,262 +117,6 @@ def _pre_unroll(n_other):
 # light. v5e A/B at TRI_UNROLL=16, tile 16x128: 49.8 -> 51.0 FPS
 # (bit-exact); also removes the shadow-ray XLA glue per bounce.
 USE_FUSED_SHADOW = True
-
-# pre-pass row layout: geom pack (24) + gid + leaf box (6) + material (8)
-# + rid (canonical resolve id, see below)
-G_GID = 24
-G_B0X, G_B0Y, G_B0Z, G_B1X, G_B1Y, G_B1Z = 25, 26, 27, 28, 29, 30
-G_MCR, G_MCG, G_MCB = 31, 32, 33
-G_MKA, G_MKD, G_MKS, G_MKF, G_MSH = 34, 35, 36, 37, 38
-G_RID = 39
-PRE_W = 40
-
-# triangle row layout (lean): n, pd, e1, e2, p1, p1e1, p1e2, r11, r01, r00,
-# gid, material, rid, + Gram-fused constants (cfg.use_gram_tri)
-T_NX, T_NY, T_NZ, T_PD = 0, 1, 2, 3
-T_E1X, T_E1Y, T_E1Z = 4, 5, 6
-T_E2X, T_E2Y, T_E2Z = 7, 8, 9
-T_P1X, T_P1Y, T_P1Z = 10, 11, 12
-T_S0, T_S1, T_R11, T_R01, T_R00 = 13, 14, 15, 16, 17
-T_GID = 18
-T_MCR, T_MCG, T_MCB = 19, 20, 21
-T_MKA, T_MKD, T_MKS, T_MKF, T_MSH = 22, 23, 24, 25, 26
-T_RID = 27
-# Ev = r11*e1 - r01*e2, cv = r11*s0 - r01*s1 (w-symmetric): barycentric
-# v = (o.Ev - cv) + t*(d.Ev) without forming the hit point — 12 scalar
-# loads vs 15 and ~4 fewer vector ops per test. Same accept set in exact
-# arithmetic (f32-reassociated). v5e brute-mix A/B (benchmarks/ilp_ab.py
-# gram32 vs tree32): 8.98 vs 10.07 ms (-10.8%).
-T_EVX, T_EVY, T_EVZ, T_CV = 28, 29, 30, 31
-T_EWX, T_EWY, T_EWZ, T_CW = 32, 33, 34, 35
-TRI_W = 36
-
-
-# rid = the canonical resolve id: min gid over shapes with an IDENTICAL
-# material 8-tuple, computed at prepare() time. The wholeframe kernel's
-# material resolve loops over the DISTINCT winning ids per tile — on mesh
-# tiles that's up to hundreds of triangle gids while the mesh shares ~3
-# materials. Resolving tab[rid] instead of tab[gid] is bit-exact (the
-# loop reads only material columns, identical within a group) and
-# collapses the loop to <= #distinct-materials iterations. v5e A/B
-# (benchmarks/resolve_rid_ab.py): scene 2 32.9 -> 31.6 ms, scene 1
-# neutral; max_abs_diff 0.0 on both. NOTE: editing material VALUES after
-# prepare() without re-prepare() would stale the grouping — geometry-only
-# animation (the reference's only kind, main.cpp:1079-1109) is unaffected.
-
-
-@jax.tree_util.register_pytree_node_class
-class SplitScene:
-    """Host-prepared device arrays for the split kernel (static per scene;
-    rebuilt on geometry changes). Registered pytree: array leaves + static
-    counts so it can flow through jit."""
-
-    def tree_flatten(self):
-        children = (self.leaf_start, self.leaf_count, self.skip, self.nodes,
-                    self.pre_rows, self.tri_rows, self.other_idx,
-                    self.tri_gids, self.tri_leaf_id, self.leaf_lo,
-                    self.leaf_hi, self.node_lo, self.node_hi)
-        aux = (self.n_other, self.n_sph, self.n_tri, self.m, self.m_pad,
-               self.n_leaf, self.rid_values)
-        return children, aux
-
-    @classmethod
-    def tree_unflatten(cls, aux, children):
-        obj = cls.__new__(cls)
-        (obj.leaf_start, obj.leaf_count, obj.skip, obj.nodes,
-         obj.pre_rows, obj.tri_rows, obj.other_idx,
-         obj.tri_gids, obj.tri_leaf_id, obj.leaf_lo,
-         obj.leaf_hi, obj.node_lo, obj.node_hi) = children
-        (obj.n_other, obj.n_sph, obj.n_tri, obj.m, obj.m_pad,
-         obj.n_leaf, obj.rid_values) = aux
-        return obj
-
-    def replace_leaves(self, **kw) -> "SplitScene":
-        """Functional update of named pytree leaves."""
-        children, aux = self.tree_flatten()
-        names = ("leaf_start", "leaf_count", "skip", "nodes", "pre_rows",
-                 "tri_rows", "other_idx", "tri_gids", "tri_leaf_id",
-                 "leaf_lo", "leaf_hi", "node_lo", "node_hi")
-        children = [kw.get(n, c) for n, c in zip(names, children)]
-        return SplitScene.tree_unflatten(aux, tuple(children))
-
-    def __init__(self, scene: FlatScene, ref_bvh: LinearBVH,
-                 tri_max_depth: int | None = None,
-                 tri_builder: str | None = None):
-        st = np.asarray(scene.shape_type)
-        canon = _canonical_material_ids(scene)
-        # the distinct canonical resolve ids, STATIC: lets the wholeframe
-        # resolve unroll over known table rows (static VMEM indexing, no
-        # cross-lane syncs) instead of a distinct-id while loop
-        self.rid_values = tuple(int(v) for v in np.unique(canon))
-        tri_ids = np.nonzero(st == TRIANGLE)[0].astype(np.int32)
-        other_ids = np.nonzero(st != TRIANGLE)[0].astype(np.int32)
-        # Pre rows grouped by type — SPHERES first, then the plane family —
-        # so the pre-pass can run one sphere-only loop and one plane/wall
-        # loop instead of evaluating every type formula per shape (the
-        # branchless union costs ~100 vector ops/shape; the split loops
-        # ~35/~45). gid order kept within each group: the pre-pass t
-        # comparison is strict, so ordering matters only on exact f32 ties.
-        sph_ids = other_ids[st[other_ids] == SPHERE]
-        pw_ids = other_ids[st[other_ids] != SPHERE]
-        other_ids = np.concatenate([sph_ids, pw_ids]).astype(np.int32)
-        self.n_sph = int(sph_ids.shape[0])
-        self.n_other = int(other_ids.shape[0])
-        self.n_tri = int(tri_ids.shape[0])
-        if tri_max_depth is None:
-            tri_max_depth = _auto_tri_depth(self.n_tri)
-
-        # --- pre-pass rows: non-tri shapes + reference-tree leaf boxes ----
-        rows = np.asarray(rowwise.pack_rows(scene))
-        if ref_bvh is not None:
-            bmin, bmax = shape_leaf_boxes(ref_bvh, scene.num_shapes)
-            bmin, bmax = np.asarray(bmin), np.asarray(bmax)
-        else:
-            bmin = np.full((scene.num_shapes, 3), -INF, np.float32)
-            bmax = np.full((scene.num_shapes, 3), INF, np.float32)
-        pre = np.zeros((max(self.n_other, 1), PRE_W), np.float32)
-        if self.n_other:
-            pre[:, :24] = rows[other_ids]
-            pre[:, G_GID] = other_ids.astype(np.float32)
-            pre[:, G_B0X:G_B0X + 3] = bmin[other_ids]
-            pre[:, G_B1X:G_B1X + 3] = bmax[other_ids]
-            pre[:, G_MCR:G_MCR + 3] = np.asarray(scene.mat_color)[other_ids]
-            pre[:, G_MKA] = np.asarray(scene.mat_ambient)[other_ids]
-            pre[:, G_MKD] = np.asarray(scene.mat_diffuse)[other_ids]
-            pre[:, G_MKS] = np.asarray(scene.mat_specular)[other_ids]
-            pre[:, G_MKF] = np.asarray(scene.mat_fresnel)[other_ids]
-            pre[:, G_MSH] = np.asarray(scene.mat_shininess)[other_ids]
-            pre[:, G_RID] = canon[other_ids].astype(np.float32)
-
-        # --- triangle-only BVH (pure perf choice; any tree is exact) ------
-        mins, maxs = shape_aabbs(scene)
-        centers = shape_centers(scene)
-        tri_scene_aabbs = (mins[tri_ids], maxs[tri_ids])
-        sub = scene.take(jnp.asarray(tri_ids))
-        builder = tri_builder or TRI_BUILDER
-        if builder == "sah" and self.n_tri:
-            from raytracer_tpu.accel.sah import build_sah
-            tbvh = build_sah(aabbs=tri_scene_aabbs,
-                             centers=centers[tri_ids],
-                             leaf_target=SAH_LEAF_TARGET)
-        else:
-            tbvh = bvh_mod.build_bvh(sub, tri_max_depth,
-                                     aabbs=tri_scene_aabbs,
-                                     centers=centers[tri_ids])
-        lin = linearize(tbvh)
-        self.m = lin.num_nodes
-        self.m_pad = max(((self.m + 7) // 8) * 8, 8)
-        nodes = np.zeros((self.m_pad, 8), np.float32)
-        nodes[:self.m, 0:6] = np.asarray(lin.bounds)
-        self.nodes = jnp.asarray(nodes)
-        self.leaf_start = lin.leaf_start
-        self.leaf_count = lin.leaf_count
-        self.skip = lin.skip
-
-        # triangle rows in DFS-leaf order. perm is treated as a multiset
-        # (duplicate references would be exact — closest-min idempotent —
-        # though no current builder emits them; SBVH was measured worse
-        # and deleted, see accel/sah.py).
-        perm = np.asarray(lin.perm)           # into tri subset
-        self.n_tri = int(perm.shape[0])
-        gids = tri_ids[perm]                  # global shape ids
-        p1 = np.asarray(scene.tri_p1)[gids]
-        p2 = np.asarray(scene.tri_p2)[gids]
-        p3 = np.asarray(scene.tri_p3)[gids]
-        n = np.asarray(scene.plane_normal)[gids]
-        pd = np.asarray(scene.plane_d)[gids]
-        e1 = p2 - p1
-        e2 = p3 - p1
-        d00 = (e1 * e1).sum(-1)
-        d01 = (e1 * e2).sum(-1)
-        d11 = (e2 * e2).sum(-1)
-        denom = d00 * d11 - d01 * d01
-        safe = np.where(denom == 0, 1.0, denom)
-        z = denom == 0
-        tri = np.zeros((max(self.n_tri, 1), TRI_W), np.float32)
-        if self.n_tri:
-            tri[:, T_NX:T_NX + 3] = n
-            tri[:, T_PD] = pd
-            tri[:, T_E1X:T_E1X + 3] = e1
-            tri[:, T_E2X:T_E2X + 3] = e2
-            tri[:, T_P1X:T_P1X + 3] = p1
-            s0 = (p1 * e1).sum(-1)
-            s1 = (p1 * e2).sum(-1)
-            r11 = np.where(z, 0.0, d11 / safe)
-            r01 = np.where(z, 0.0, d01 / safe)
-            r00 = np.where(z, 0.0, d00 / safe)
-            tri[:, T_S0] = s0
-            tri[:, T_S1] = s1
-            tri[:, T_R11] = r11
-            tri[:, T_R01] = r01
-            tri[:, T_R00] = r00
-            # Gram-fused constants (f32 inputs: match update_tri_rows'
-            # on-device recompute bit-for-bit)
-            r11f, r01f, r00f = (x.astype(np.float32)
-                                for x in (r11, r01, r00))
-            s0f, s1f = s0.astype(np.float32), s1.astype(np.float32)
-            e1f, e2f = e1.astype(np.float32), e2.astype(np.float32)
-            tri[:, T_EVX:T_EVX + 3] = (r11f[:, None] * e1f
-                                       - r01f[:, None] * e2f)
-            tri[:, T_CV] = r11f * s0f - r01f * s1f
-            tri[:, T_EWX:T_EWX + 3] = (r00f[:, None] * e2f
-                                       - r01f[:, None] * e1f)
-            tri[:, T_CW] = r00f * s1f - r01f * s0f
-            tri[:, T_GID] = gids.astype(np.float32)
-            tri[:, T_MCR:T_MCR + 3] = np.asarray(scene.mat_color)[gids]
-            tri[:, T_MKA] = np.asarray(scene.mat_ambient)[gids]
-            tri[:, T_MKD] = np.asarray(scene.mat_diffuse)[gids]
-            tri[:, T_MKS] = np.asarray(scene.mat_specular)[gids]
-            tri[:, T_MKF] = np.asarray(scene.mat_fresnel)[gids]
-            tri[:, T_MSH] = np.asarray(scene.mat_shininess)[gids]
-            tri[:, T_RID] = canon[gids].astype(np.float32)
-        # +32 guard rows: with TRI_UNROLL = U the unrolled tests may read
-        # (masked-off) rows up to st + cnt - 1 + U - 1 past the last
-        # triangle; zero rows never intersect and are valid-masked anyway
-        k_pad = max(((tri.shape[0] + 32 + 7) // 8) * 8, 8)
-        tri = np.pad(tri, ((0, k_pad - tri.shape[0]), (0, 0)))
-        self.tri_rows = jnp.asarray(tri)
-        pre_pad = max(((pre.shape[0] + 7) // 8) * 8, 8)
-        pre = np.pad(pre, ((0, pre_pad - pre.shape[0]), (0, 0)))
-        self.pre_rows = jnp.asarray(pre)
-        self.other_idx = jnp.asarray(other_ids)
-
-        # --- static refit metadata (device tri refresh for animations) ---
-        # Topology (leaf assignment, skip pointers, perm) stays fixed;
-        # update_tri_rows refreshes rows + node boxes on device. Each
-        # node's leaves are the leaf nodes in its DFS span [n, skip[n]);
-        # perm ranges of a subtree are contiguous by construction.
-        starts = np.asarray(lin.leaf_start)
-        counts = np.asarray(lin.leaf_count)
-        skips = np.asarray(lin.skip)
-        leaf_nodes = np.nonzero(counts > 0)[0]
-        self.n_leaf = int(leaf_nodes.shape[0])
-        leaf_of_perm = np.zeros(max(self.n_tri, 1), np.int32)
-        for li, nd in enumerate(leaf_nodes):
-            leaf_of_perm[starts[nd]:starts[nd] + counts[nd]] = li
-        node_lo = np.zeros(self.m_pad, np.int32)
-        node_hi = np.zeros(self.m_pad, np.int32)
-        for nd in range(self.m):
-            in_span = leaf_nodes[(leaf_nodes >= nd) & (leaf_nodes
-                                                       < skips[nd])]
-            if in_span.size:
-                node_lo[nd] = starts[in_span[0]]
-                node_hi[nd] = starts[in_span[-1]] + counts[in_span[-1]]
-        self.tri_gids = jnp.asarray(
-            gids if self.n_tri else np.zeros(1, np.int32))
-        self.tri_leaf_id = jnp.asarray(leaf_of_perm)
-        self.leaf_lo = jnp.asarray(starts[leaf_nodes].astype(np.int32)
-                                   if self.n_leaf else np.zeros(1, np.int32))
-        self.leaf_hi = jnp.asarray(
-            (starts[leaf_nodes] + counts[leaf_nodes]).astype(np.int32)
-            if self.n_leaf else np.ones(1, np.int32))
-        self.node_lo = jnp.asarray(node_lo)
-        self.node_hi = jnp.asarray(node_hi)
-
-    def device_args(self):
-        return (self.leaf_start, self.leaf_count, self.skip, self.nodes,
-                self.pre_rows, self.tri_rows)
-
 
 # Timing probe (not a production path): when set to a host array, the
 # pre-pass reads its shape parameters as baked float immediates instead
@@ -640,6 +283,13 @@ def _tri_test(tri_ref, i, ox, oy, oz, dx, dy, dz, use_mt, use_gram):
 # lax.cond instead of running them masked (retest of the pruned round-1
 # cond-split idea now that the walk is throughput-bound).
 USE_LEAF_COND = True
+
+# Walk steps per while-loop iteration in _closest_pass (1 or 2). The
+# census says ~2.6 ms of the scene-1 frame is per-iteration control
+# latency (~0.29us x ~9k iterations); 2 steps per iteration halves the
+# while-loop backedge share of it (the second step is OOB-guarded and
+# no-ops past the end). Bit-exact: the same step sequence executes.
+WALK_STEPS = 1
 
 # ablation flags for performance bisection (leave True in production)
 RUN_PREPASS = True
@@ -995,7 +645,7 @@ def _split_body(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
 def _closest_pass(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
                   pre_ref, tri_ref, ox, oy, oz, dx, dy, dz,
                   *, m, n_other, n_sph, use_mt, use_gram, with_normals, unroll=1,
-                  rid=False):
+                  rid=False, t_init=None):
     pre_ref = _maybe_const(pre_ref)
     """One full closest-hit traversal (pre-pass + triangle packet walk) as
     a pure function of ray components, callable multiple times per kernel
@@ -1004,7 +654,16 @@ def _closest_pass(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
     the hit normal (3 extra vector carries) so the caller can derive
     secondary rays in-register. rid=True carries the canonical resolve id
     (T_RID/G_RID) instead of the true gid — exact for material resolve
-    only (see the T_RID note), used by the wholeframe kernel."""
+    only (see the T_RID note), used by the wholeframe kernel.
+
+    t_init: optional per-lane initial t_best (default INF). A SHADOW walk
+    passes the light distance: every comparison in the walk is strict
+    (t < t_best; probes tmin <= t_best), so hits at or beyond the light
+    never influence ``in_shadow = t < limit`` — but subtrees entirely
+    beyond the light now fail the probe and are skipped. Bit-exact for
+    the shadow decision; the returned t is min(closest hit < limit,
+    limit) and the returned gid/normals are only meaningful for hits
+    under the limit."""
     tcol = T_RID if rid else T_GID
     pcol = G_RID if rid else G_GID
     aa = dx * dx + dy * dy + dz * dz
@@ -1012,7 +671,7 @@ def _closest_pass(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
     inv_dy = 1.0 / dy
     inv_dz = 1.0 / dz
     shape = ox.shape
-    t0 = jnp.full(shape, INF, jnp.float32)
+    t0 = jnp.full(shape, INF, jnp.float32) if t_init is None else t_init
     g0 = jnp.full(shape, -1.0, jnp.float32)
     n0 = tuple(jnp.zeros(shape, jnp.float32) for _ in range(3)) \
         if with_normals else ()
@@ -1082,118 +741,142 @@ def _closest_pass(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
     def cond(state):
         return state[0] < m
 
-    def body(state):
-        ptr, k, t_best, gid_best = state[0], state[1], state[2], state[3]
-        nrm = state[4:]
-        entering = k == 0
+    def make_body(guarded):
+        """One walk step. guarded=True makes it a NO-OP when ptr >= m
+        (OOB-safe clamped reads + state passthrough) so WALK_STEPS=2 can
+        run two steps per while iteration: the first is covered by the
+        loop condition, the second may start past the end."""
 
-        def probe_node(_):
-            b0x = nodes_ref[ptr, 0]
-            b0y = nodes_ref[ptr, 1]
-            b0z = nodes_ref[ptr, 2]
-            b1x = nodes_ref[ptr, 3]
-            b1y = nodes_ref[ptr, 4]
-            b1z = nodes_ref[ptr, 5]
-            tx0 = (b0x - ox) * inv_dx
-            tx1 = (b1x - ox) * inv_dx
-            ty0 = (b0y - oy) * inv_dy
-            ty1 = (b1y - oy) * inv_dy
-            tz0 = (b0z - oz) * inv_dz
-            tz1 = (b1z - oz) * inv_dz
-            tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                           jnp.minimum(ty0, ty1)),
-                               jnp.minimum(tz0, tz1))
-            tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                           jnp.maximum(ty0, ty1)),
-                               jnp.maximum(tz0, tz1))
-            probe = (tmax >= tmin) & (tmax > 0) & (tmin <= t_best)
-            return jnp.any(probe)
+        def body(state):
+            ptr, k, t_best, gid_best = (state[0], state[1], state[2],
+                                        state[3])
+            nrm = state[4:]
+            ok = (ptr < m) if guarded else None
+            pr = jnp.minimum(ptr, m - 1) if guarded else ptr
+            entering = k == 0
 
-        if USE_LEAF_COND:
-            # mid-leaf iterations (k > 0) never consume the slab test:
-            # start_leaf and go_deeper are both gated on `entering`
-            any_hit = jax.lax.cond(entering, probe_node,
-                                   lambda _: jnp.bool_(False), 0)
-        else:
-            any_hit = probe_node(0)
+            def probe_node(_):
+                b0x = nodes_ref[pr, 0]
+                b0y = nodes_ref[pr, 1]
+                b0z = nodes_ref[pr, 2]
+                b1x = nodes_ref[pr, 3]
+                b1y = nodes_ref[pr, 4]
+                b1z = nodes_ref[pr, 5]
+                tx0 = (b0x - ox) * inv_dx
+                tx1 = (b1x - ox) * inv_dx
+                ty0 = (b0y - oy) * inv_dy
+                ty1 = (b1y - oy) * inv_dy
+                tz0 = (b0z - oz) * inv_dz
+                tz1 = (b1z - oz) * inv_dz
+                tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                               jnp.minimum(ty0, ty1)),
+                                   jnp.minimum(tz0, tz1))
+                tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                               jnp.maximum(ty0, ty1)),
+                                   jnp.maximum(tz0, tz1))
+                probe = (tmax >= tmin) & (tmax > 0) & (tmin <= t_best)
+                return jnp.any(probe)
 
-        st = leaf_start_ref[ptr]
-        cnt = leaf_count_ref[ptr]
-        sk = skip_ref[ptr]
-        is_leaf = cnt > 0
-        start_leaf = entering & any_hit & is_leaf
-        in_leaf = start_leaf | jnp.logical_not(entering)
+            if USE_LEAF_COND:
+                # mid-leaf iterations (k > 0) never consume the slab
+                # test: start_leaf and go_deeper are gated on `entering`
+                pred = (entering & ok) if guarded else entering
+                any_hit = jax.lax.cond(pred, probe_node,
+                                       lambda _: jnp.bool_(False), 0)
+            else:
+                any_hit = probe_node(0)
+                if guarded:
+                    any_hit = any_hit & ok
 
-        def leaf_tests(carry):
-            t_best, gid_best = carry[0], carry[1]
-            nrm = carry[2:]
-            if LEAF_TREE_REDUCE:
-                cands = []
+            st = leaf_start_ref[pr]
+            cnt = leaf_count_ref[pr]
+            sk = skip_ref[pr]
+            is_leaf = cnt > 0
+            start_leaf = entering & any_hit & is_leaf
+            in_leaf = start_leaf | jnp.logical_not(entering)
+
+            def leaf_tests(carry):
+                t_best, gid_best = carry[0], carry[1]
+                nrm = carry[2:]
+                if LEAF_TREE_REDUCE:
+                    cands = []
+                    for j in range(unroll):
+                        row = st + k + j
+                        t, inner = _tri_test(tri_ref, row, ox, oy, oz,
+                                             dx, dy, dz, use_mt, use_gram)
+                        ok = inner if j == 0 else inner & ((k + j) < cnt)
+                        payload = (jnp.where(ok, t, INF),
+                                   tri_ref[row, tcol])
+                        if with_normals:
+                            payload = payload + (tri_ref[row, T_NX],
+                                                 tri_ref[row, T_NY],
+                                                 tri_ref[row, T_NZ])
+                        cands.append(payload)
+                    best = _reduce_candidates(cands)
+                    better = best[0] < t_best
+                    out = tuple(jnp.where(better, nb, c) for nb, c in
+                                zip(best, (t_best, gid_best) + nrm))
+                    return out
                 for j in range(unroll):
                     row = st + k + j
-                    t, inner = _tri_test(tri_ref, row, ox, oy, oz,
-                                         dx, dy, dz, use_mt, use_gram)
-                    ok = inner if j == 0 else inner & ((k + j) < cnt)
-                    payload = (jnp.where(ok, t, INF),
-                               tri_ref[row, tcol])
+                    valid = True if j == 0 else (k + j) < cnt
+                    t, inner = _tri_test(tri_ref, row, ox, oy, oz, dx, dy, dz,
+                                         use_mt, use_gram)
+                    better = inner & valid & (t < t_best) if j \
+                        else inner & (t < t_best)
+                    t_best = jnp.where(better, t, t_best)
+                    gid_best = jnp.where(better, tri_ref[row, tcol], gid_best)
                     if with_normals:
-                        payload = payload + (tri_ref[row, T_NX],
-                                             tri_ref[row, T_NY],
-                                             tri_ref[row, T_NZ])
-                    cands.append(payload)
-                best = _reduce_candidates(cands)
-                better = best[0] < t_best
-                out = tuple(jnp.where(better, nb, c) for nb, c in
-                            zip(best, (t_best, gid_best) + nrm))
-                return out
-            for j in range(unroll):
-                row = st + k + j
-                valid = True if j == 0 else (k + j) < cnt
-                t, inner = _tri_test(tri_ref, row, ox, oy, oz, dx, dy, dz,
-                                     use_mt, use_gram)
-                better = inner & valid & (t < t_best) if j \
-                    else inner & (t < t_best)
-                t_best = jnp.where(better, t, t_best)
-                gid_best = jnp.where(better, tri_ref[row, tcol], gid_best)
-                if with_normals:
-                    tri_n = (tri_ref[row, T_NX], tri_ref[row, T_NY],
-                             tri_ref[row, T_NZ])
-                    nrm = tuple(jnp.where(better, nv, c)
-                                for nv, c in zip(tri_n, nrm))
-            return (t_best, gid_best) + nrm
+                        tri_n = (tri_ref[row, T_NX], tri_ref[row, T_NY],
+                                 tri_ref[row, T_NZ])
+                        nrm = tuple(jnp.where(better, nv, c)
+                                    for nv, c in zip(tri_n, nrm))
+                return (t_best, gid_best) + nrm
 
-        if USE_LEAF_COND:
-            # internal-node iterations skip the U triangle tests entirely
-            # (scalar branch) instead of running them masked
-            carry = jax.lax.cond(in_leaf, leaf_tests, lambda c: c,
-                                 (t_best, gid_best) + nrm)
-            t_best, gid_best = carry[0], carry[1]
-            nrm = carry[2:]
-        else:
-            for j in range(unroll):
-                row = st + k + j
-                valid = in_leaf if j == 0 else ((k + j) < cnt) & in_leaf
-                t, inner = _tri_test(tri_ref, row, ox, oy, oz, dx, dy, dz,
-                                     use_mt, use_gram)
-                better = inner & valid & (t < t_best)
-                t_best = jnp.where(better, t, t_best)
-                gid_best = jnp.where(better, tri_ref[row, tcol],
-                                     gid_best)
-                if with_normals:
-                    tri_n = (tri_ref[row, T_NX], tri_ref[row, T_NY],
-                             tri_ref[row, T_NZ])
-                    nrm = tuple(jnp.where(better, nv, c)
-                                for nv, c in zip(tri_n, nrm))
+            if USE_LEAF_COND:
+                # internal-node iterations skip the U triangle tests entirely
+                # (scalar branch) instead of running them masked
+                carry = jax.lax.cond(in_leaf, leaf_tests, lambda c: c,
+                                     (t_best, gid_best) + nrm)
+                t_best, gid_best = carry[0], carry[1]
+                nrm = carry[2:]
+            else:
+                for j in range(unroll):
+                    row = st + k + j
+                    valid = in_leaf if j == 0 else ((k + j) < cnt) & in_leaf
+                    t, inner = _tri_test(tri_ref, row, ox, oy, oz, dx, dy, dz,
+                                         use_mt, use_gram)
+                    better = inner & valid & (t < t_best)
+                    t_best = jnp.where(better, t, t_best)
+                    gid_best = jnp.where(better, tri_ref[row, tcol],
+                                         gid_best)
+                    if with_normals:
+                        tri_n = (tri_ref[row, T_NX], tri_ref[row, T_NY],
+                                 tri_ref[row, T_NZ])
+                        nrm = tuple(jnp.where(better, nv, c)
+                                    for nv, c in zip(tri_n, nrm))
 
-        k_next = k + unroll
-        leaf_done = in_leaf & (k_next >= cnt)
-        go_deeper = entering & any_hit & jnp.logical_not(is_leaf)
-        stay = (in_leaf & jnp.logical_not(leaf_done)).astype(jnp.int32)
-        deeper = go_deeper.astype(jnp.int32)
-        new_ptr = stay * ptr + (1 - stay) * (deeper * (ptr + 1)
-                                             + (1 - deeper) * sk)
-        new_k = stay * k_next
-        return (new_ptr, new_k, t_best, gid_best) + nrm
+            k_next = k + unroll
+            leaf_done = in_leaf & (k_next >= cnt)
+            go_deeper = entering & any_hit & jnp.logical_not(is_leaf)
+            stay = (in_leaf & jnp.logical_not(leaf_done)).astype(jnp.int32)
+            deeper = go_deeper.astype(jnp.int32)
+            new_ptr = stay * ptr + (1 - stay) * (deeper * (ptr + 1)
+                                                 + (1 - deeper) * sk)
+            new_k = stay * k_next
+            if guarded:
+                new_ptr = jnp.where(ok, new_ptr, ptr)
+                new_k = jnp.where(ok, new_k, k)
+            return (new_ptr, new_k, t_best, gid_best) + nrm
+
+        return body
+
+    body = make_body(False)
+    if WALK_STEPS == 2:
+        body_b = make_body(True)
+        step_fn = lambda s: body_b(body(s))
+    else:
+        step_fn = body
 
     def run_all(carry):
         # pre-pass + packet walk under ONE liveness cond: an all-parked
@@ -1203,7 +886,7 @@ def _closest_pass(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
             carry = run_prepass(carry)
         if not RUN_TRAVERSAL:
             return carry
-        out = jax.lax.while_loop(cond, body,
+        out = jax.lax.while_loop(cond, step_fn,
                                  (jnp.int32(0), jnp.int32(0)) + carry)
         return out[2:]
 
@@ -1252,11 +935,14 @@ def _fused_kernel(leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref,
     sdz = jnp.where(hit, ldz * inv, whitted._PARK_DIR)
     limit = jnp.where(hit, dist, 0.0)
 
+    # t_init=limit: beyond-light subtrees fail the probe's strict
+    # tmin <= t_best test and are skipped — bit-exact for in_shadow
+    # (see _closest_pass docstring)
     st, _ = _closest_pass(
         leaf_start_ref, leaf_count_ref, skip_ref, nodes_ref, pre_ref,
         tri_ref, sox, soy, soz, sdx, sdy, sdz,
         m=m, n_other=n_other, n_sph=n_sph, use_mt=use_mt, use_gram=use_gram,
-        with_normals=False, unroll=unroll)
+        with_normals=False, unroll=unroll, t_init=limit)
 
     t_ref[0] = t
     gid_ref[0] = gid
@@ -1479,8 +1165,10 @@ def _wholeframe_kernel(leaf_start_ref, leaf_count_ref, skip_ref,
             sdy = jnp.where(hit, ldy * inv, whitted._PARK_DIR)
             sdz = jnp.where(hit, ldz * inv, whitted._PARK_DIR)
             limit = jnp.where(hit, dist, 0.0)
+            # t_init=limit culls beyond-light subtrees, bit-exact for
+            # the strict in_shadow compare (_closest_pass docstring)
             st, _ = closest(sox, soy, soz, sdx, sdy, sdz,
-                            with_normals=False)
+                            with_normals=False, t_init=limit)
             in_shadow = st < limit
         else:
             in_shadow = jnp.zeros_like(hit)
@@ -1601,7 +1289,8 @@ def _wholeframe_kernel(leaf_start_ref, leaf_count_ref, skip_ref,
 def _wholeframe_render(split: SplitScene, attr_tab, light: Light,
                        o, d, bg, cfg: RenderConfig, camera=None,
                        grid_shape=None, bounces=None, emit_state=False,
-                       consume_state=False, state=None, y_off=0.0):
+                       consume_state=False, state=None, y_off=0.0,
+                       tile_override=None):
     """Trace blocked rays o/d/bg (R, 3) to final colors (R, 3) in one
     pallas launch (see _wholeframe_kernel). With camera+grid_shape
     given (USE_KERNEL_RAYGEN), o/d/bg are None and rays are generated
@@ -1614,6 +1303,12 @@ def _wholeframe_render(split: SplitScene, attr_tab, light: Light,
     of o/d/bg and returns colors."""
     interpret = _auto_interpret(cfg)
     th, tw = cfg.tile_h, cfg.tile_w
+    if tile_override is not None:
+        # The continuation launch's tile shape is FREE to differ from
+        # bounce-1's: consume_geom decodes ret with bounce-1's block
+        # geometry regardless of how this launch tiles the flat stream.
+        assert consume_state
+        th, tw = tile_override
     tile = th * tw
     raygen = None
     consume_geom = None
@@ -1623,7 +1318,9 @@ def _wholeframe_render(split: SplitScene, attr_tab, light: Light,
         g = r // tile
         rays = jnp.stack(state).reshape(10, g, th, tw)
         _, n_bw, bh, bw = grid_shape
-        consume_geom = (cfg.height, tile, bh, bw, n_bw)
+        # ret decodes with BOUNCE-1's block size (bh*bw), which equals
+        # this launch's tile only when tile_override is unset
+        consume_geom = (cfg.height, bh * bw, bh, bw, n_bw)
         par = jnp.concatenate(
             [light.position, light.color,
              jnp.zeros(14, jnp.float32),
@@ -1976,6 +1673,19 @@ def make_closest_hit(split: SplitScene, cfg: RenderConfig):
     return closest_hit
 
 
+# A/B flag: tile shape for the hybrid's CONTINUATION launches (None =
+# same as cfg.tile_h/tile_w). After the sort the stream is coherent at
+# finer granularity, so a smaller tile may tighten per-tile leaf-visit
+# unions at the cost of more grid steps.
+CONT_TILE = None
+
+# A/B flag: re-pack the continuation stream with a 2-column (key, idx)
+# sort + one bulk XLA gather of the (R, 9) state matrix, instead of
+# carrying 10 payload columns through the sort network (~0.2 ms/column
+# in-frame, profiler-measured). Bit-exact either way.
+USE_GATHER_REPACK = False
+
+
 def _render_blocks(scene: FlatScene, split: SplitScene, camera, light,
                    cfg: RenderConfig, grid_shape, y_off=0.0):
     """Wholeframe-kernel render of a WINDOW of (n_bh x n_bw) pixel blocks
@@ -2014,6 +1724,25 @@ def _render_blocks(scene: FlatScene, split: SplitScene, camera, light,
         d2 = jnp.stack(state[3:6], axis=-1)
         ret0 = jnp.arange(state[0].shape[0], dtype=jnp.int32)
         key = whitted._bounce_sort_key(o2, d2, state[0] < 1e30)
+        if USE_GATHER_REPACK and not cfg.second_sort:
+            s2 = jax.lax.sort((key, ret0), dimension=0, num_keys=1,
+                              is_stable=True)
+            perm = s2[1]
+            mat = jnp.stack(state, axis=-1)            # (R, 9)
+            smat = jnp.take(mat, perm, axis=0)
+            st_sorted = [smat[:, i] for i in range(9)] \
+                + [perm.astype(jnp.float32)]
+            accb_ = _wholeframe_render(
+                split, attr_tab, light, None, None, None, cfg,
+                grid_shape=grid_shape, bounces=cfg.max_bounces - 1,
+                consume_state=True, state=st_sorted, y_off=y_off,
+                tile_override=CONT_TILE)
+            s3 = jax.lax.sort((perm, ret0), dimension=0, num_keys=1,
+                              is_stable=True)
+            colors = acc1 + jnp.take(accb_, s3[1], axis=0)
+            colors = colors.reshape(n_bh, n_bw, bh, bw, 3)
+            return colors.transpose(0, 2, 1, 3, 4).reshape(n_bh * bh,
+                                                           n_bw * bw, 3)
         # bg does NOT ride the sort: the continuation kernel re-derives
         # it from ret (consume_geom), saving 3 of the 14 payload
         # columns (~1 ms/3-4 columns at 506K rows, NOTES_r4 model)
@@ -2054,7 +1783,7 @@ def _render_blocks(scene: FlatScene, split: SplitScene, camera, light,
                 None, cfg, grid_shape=grid_shape,
                 bounces=cfg.max_bounces - 1, consume_state=True,
                 state=list(s[1:10]) + [s[10].astype(jnp.float32)],
-                y_off=y_off)
+                y_off=y_off, tile_override=CONT_TILE)
             u = jax.lax.sort(
                 (s[10], accb_[:, 0], accb_[:, 1], accb_[:, 2]),
                 dimension=0, num_keys=1, is_stable=True)
@@ -2150,214 +1879,6 @@ def _render_impl(scene: FlatScene, split: SplitScene, camera, light,
     colors = colors.reshape(hp // bh, wp // bw, bh, bw, 3)
     colors = colors.transpose(0, 2, 1, 3, 4).reshape(hp, wp, 3)
     return colors[:h, :w]
-
-
-def update_pre_rows(split: SplitScene, scene: FlatScene) -> SplitScene:
-    """Device-side per-frame refresh of the pre-pass rows, for animations
-    that move only NON-triangle shapes (e.g. scene 1's bouncing spheres,
-    reference src/main.cpp:939-967): geometry and material columns are
-    re-packed from the current scene; the leaf-box gate becomes the
-    shape's own current AABB for contained shapes (an exact gate — the
-    shape is inside it by construction, mirroring the reference's
-    grow-refit keeping moved spheres inside their leaf, main.cpp:1068-77)
-    while degenerate walls keep their stored reference-tree box (their
-    visibility IS that box, and they never move). Triangle rows and the
-    triangle BVH are untouched. Pure jnp: call inside jit once per frame.
-
-    GEOMETRY-ONLY contract: the canonical resolve-id column (G_RID) is
-    carried forward unchanged — it is data-dependent grouping that
-    cannot be recomputed in-trace. If material VALUES changed since
-    prepare(), call ``update_materials`` (host-side) first.
-    """
-    from raytracer_tpu.core.scene import WALL
-    from raytracer_tpu.geom.aabb import shape_aabbs_jnp
-    from raytracer_tpu.geom.direct import wall_basis
-
-    if split.n_other == 0:
-        return split
-    idx = split.other_idx
-    rows24 = rowwise.pack_rows(scene)[idx]
-    amin, amax = shape_aabbs_jnp(scene)
-    _, _, wdeg = wall_basis(scene.plane_normal)
-    deg = (wdeg & (scene.shape_type == WALL))[idx][:, None]
-    old = split.pre_rows[:split.n_other]
-    bmin = jnp.where(deg, old[:, G_B0X:G_B0X + 3], amin[idx])
-    bmax = jnp.where(deg, old[:, G_B1X:G_B1X + 3], amax[idx])
-    new = jnp.concatenate([
-        rows24,
-        old[:, G_GID:G_GID + 1],
-        bmin, bmax,
-        scene.mat_color[idx],
-        scene.mat_ambient[idx, None],
-        scene.mat_diffuse[idx, None],
-        scene.mat_specular[idx, None],
-        scene.mat_fresnel[idx, None],
-        scene.mat_shininess[idx, None],
-        old[:, G_RID:G_RID + 1],
-    ], axis=1)
-    pad = split.pre_rows.shape[0] - split.n_other
-    if pad:
-        new = jnp.pad(new, ((0, pad), (0, 0)))
-    return split.replace_leaves(pre_rows=new)
-
-
-def update_tri_rows(split: SplitScene, scene: FlatScene) -> SplitScene:
-    """Device-side per-frame refresh of the TRIANGLE side: re-pack
-    tri_rows from the current scene (same static perm/leaf order) and
-    REFIT the triangle BVH node boxes bottom-up — the device analogue of
-    the reference's updateBVH grow-refit (src/main.cpp:1068-1077), for
-    animations that move triangles (updateWheelAnimations,
-    main.cpp:1084-1109). Topology is static; boxes stay exact unions of
-    their leaves' current AABBs, so traversal remains exact (any
-    containing tri tree is — see module docstring). Pure jnp: call inside
-    jit once per frame.
-
-    Preserves the stale-plane quirk: plane_normal/plane_d columns are
-    whatever the scene carries (rotate_wheels leaves them stale by
-    default, exactly like serializeShape re-uploading the old plane).
-
-    GEOMETRY-ONLY contract: T_RID is carried forward — see
-    ``update_materials`` for material edits."""
-    if split.n_tri == 0:
-        return split
-    gids = split.tri_gids
-    p1 = jnp.take(scene.tri_p1, gids, axis=0)
-    p2 = jnp.take(scene.tri_p2, gids, axis=0)
-    p3 = jnp.take(scene.tri_p3, gids, axis=0)
-    n = jnp.take(scene.plane_normal, gids, axis=0)
-    pd = jnp.take(scene.plane_d, gids, axis=0)
-    e1 = p2 - p1
-    e2 = p3 - p1
-    d00 = jnp.sum(e1 * e1, -1)
-    d01 = jnp.sum(e1 * e2, -1)
-    d11 = jnp.sum(e2 * e2, -1)
-    denom = d00 * d11 - d01 * d01
-    z = denom == 0
-    safe = jnp.where(z, 1.0, denom)
-    s0 = jnp.sum(p1 * e1, -1)
-    s1 = jnp.sum(p1 * e2, -1)
-    r11 = jnp.where(z, 0.0, d11 / safe)
-    r01 = jnp.where(z, 0.0, d01 / safe)
-    r00 = jnp.where(z, 0.0, d00 / safe)
-    tri = jnp.concatenate([
-        n, pd[:, None],
-        e1, e2, p1,
-        s0[:, None], s1[:, None],
-        r11[:, None], r01[:, None], r00[:, None],
-        gids.astype(jnp.float32)[:, None],
-        jnp.take(scene.mat_color, gids, axis=0),
-        jnp.take(scene.mat_ambient, gids)[:, None],
-        jnp.take(scene.mat_diffuse, gids)[:, None],
-        jnp.take(scene.mat_specular, gids)[:, None],
-        jnp.take(scene.mat_fresnel, gids)[:, None],
-        jnp.take(scene.mat_shininess, gids)[:, None],
-        split.tri_rows[:split.n_tri, T_RID:T_RID + 1],
-        # Gram-fused constants (cfg.use_gram_tri; same f32 ops as prepare())
-        r11[:, None] * e1 - r01[:, None] * e2,
-        (r11 * s0 - r01 * s1)[:, None],
-        r00[:, None] * e2 - r01[:, None] * e1,
-        (r00 * s1 - r01 * s0)[:, None],
-    ], axis=1)
-    pad = split.tri_rows.shape[0] - split.n_tri
-    if pad:
-        tri = jnp.pad(tri, ((0, pad), (0, 0)))
-
-    # refit: leaf boxes by segment reduce over perm order, node boxes by
-    # (small, static) leaf-containment masks
-    tmin = jnp.minimum(jnp.minimum(p1, p2), p3)
-    tmax = jnp.maximum(jnp.maximum(p1, p2), p3)
-    lmin = jax.ops.segment_min(tmin, split.tri_leaf_id,
-                               num_segments=split.n_leaf)
-    lmax = jax.ops.segment_max(tmax, split.tri_leaf_id,
-                               num_segments=split.n_leaf)
-    contained = ((split.leaf_lo[None, :] >= split.node_lo[:, None])
-                 & (split.leaf_hi[None, :] <= split.node_hi[:, None])
-                 & (split.node_hi[:, None] > split.node_lo[:, None]))
-    c3 = contained[:, :, None]
-    nmin = jnp.min(jnp.where(c3, lmin[None], INF), axis=1)
-    nmax = jnp.max(jnp.where(c3, lmax[None], -INF), axis=1)
-    nonempty = (split.node_hi > split.node_lo)[:, None]
-    nmin = jnp.where(nonempty, nmin, 0.0)
-    nmax = jnp.where(nonempty, nmax, 0.0)
-    nodes = jnp.concatenate(
-        [nmin, nmax, jnp.zeros((split.m_pad, 2), jnp.float32)], axis=1)
-    return split.replace_leaves(tri_rows=tri, nodes=nodes)
-
-
-def update_dynamic(split: SplitScene, scene: FlatScene) -> SplitScene:
-    """Full device-side refresh for arbitrary animations: pre-pass rows
-    (moved non-triangles) + triangle rows with BVH refit."""
-    return update_tri_rows(update_pre_rows(split, scene), scene)
-
-
-def update_materials(split: SplitScene, scene: FlatScene) -> SplitScene:
-    """Host-side refresh after MATERIAL edits (the ImGui live-editor
-    analogue — reference src/main.cpp:384-429 edits materials while the
-    scene runs): re-packs the material columns of both row tables AND
-    recomputes the canonical resolve-id grouping + ``rid_values``, which
-    ``prepare()`` froze from the original material 8-tuples. The traced
-    per-frame refreshers (``update_pre_rows``/``update_tri_rows``) are
-    geometry-only and deliberately carry the old RID columns forward —
-    the grouping is data-dependent (``np.unique``), so it cannot be
-    recomputed inside jit. Editing a material and skipping this call
-    would shade every shape of the stale group with the group
-    representative's material (the wholeframe kernel resolves
-    ``tab[rid]``). Host-only: requires concrete (non-traced) arrays.
-
-    ``rid_values`` is static kernel metadata, so a structural change to
-    the material grouping recompiles the wholeframe kernel — same cost
-    class as the reference re-uploading its SSBOs on edit."""
-    canon = _canonical_material_ids(scene)
-    mc = np.asarray(scene.mat_color)
-    ka = np.asarray(scene.mat_ambient)
-    kd = np.asarray(scene.mat_diffuse)
-    ks = np.asarray(scene.mat_specular)
-    kf = np.asarray(scene.mat_fresnel)
-    sh = np.asarray(scene.mat_shininess)
-    pre = np.asarray(split.pre_rows).copy()
-    if split.n_other:
-        oidx = np.asarray(split.other_idx)
-        pre[:split.n_other, G_MCR:G_MCR + 3] = mc[oidx]
-        pre[:split.n_other, G_MKA] = ka[oidx]
-        pre[:split.n_other, G_MKD] = kd[oidx]
-        pre[:split.n_other, G_MKS] = ks[oidx]
-        pre[:split.n_other, G_MKF] = kf[oidx]
-        pre[:split.n_other, G_MSH] = sh[oidx]
-        pre[:split.n_other, G_RID] = canon[oidx].astype(np.float32)
-    tri = np.asarray(split.tri_rows).copy()
-    if split.n_tri:
-        gids = np.asarray(split.tri_gids)
-        tri[:split.n_tri, T_MCR:T_MCR + 3] = mc[gids]
-        tri[:split.n_tri, T_MKA] = ka[gids]
-        tri[:split.n_tri, T_MKD] = kd[gids]
-        tri[:split.n_tri, T_MKS] = ks[gids]
-        tri[:split.n_tri, T_MKF] = kf[gids]
-        tri[:split.n_tri, T_MSH] = sh[gids]
-        tri[:split.n_tri, T_RID] = canon[gids].astype(np.float32)
-    new = split.replace_leaves(pre_rows=jnp.asarray(pre),
-                               tri_rows=jnp.asarray(tri))
-    new.rid_values = tuple(int(v) for v in np.unique(canon))
-    return new
-
-
-# Which builder shapes the triangle-only tree: "median" (reference-
-# parity median split, accel/bvh.py) or "sah" (binned surface-area
-# heuristic, accel/sah.py). Any tri tree is exact (module docstring).
-# v5e A/B at 800x600x3 (bit-exact images): SAH wins BIG on the mesh-
-# heavy scene — scene 2: 29.4 -> 20.0 ms (34.0 -> 50.1 FPS), scene 1:
-# 8.65 -> 8.05 ms — tighter boxes mean far fewer visited leaves per
-# packet walk. leaf_target sweep: 96 best on both scenes (32/64 slightly
-# worse; SAH_LEAF_TARGET below).
-TRI_BUILDER = "sah"
-
-# SAH leaf size (median builder keeps TRI_LEAF_TARGET above).
-SAH_LEAF_TARGET = 96
-
-
-def prepare(scene: FlatScene, ref_bvh: LinearBVH,
-            tri_max_depth: int | None = None,
-            tri_builder: str | None = None) -> SplitScene:
-    return SplitScene(scene, ref_bvh, tri_max_depth, tri_builder)
 
 
 def render(scene: FlatScene, bvh, camera: Camera, light: Light,

@@ -151,10 +151,12 @@ def test_sharded_split_stream_no_per_frame_sync():
 
     sc = generate_scene3()
     bvh = linearize(build_bvh(sc.flat, sc.bvh_max_depth))
-    # big enough that a frame's compute dwarfs the ~5ms/call pjit
-    # enqueue overhead the wall-clock check below must ignore
+    # big enough that a frame's compute dwarfs the ~15ms/call pjit
+    # enqueue overhead the wall-clock check below must ignore (the r5
+    # strip-sharded route dropped the 640x480 frame to ~18ms, tripping
+    # the ratio on enqueue alone — quadruple the pixels)
     cfg = CFG.replace(use_bvh=True, tile_h=8, tile_w=128,
-                      width=640, height=480)
+                      width=1280, height=960)
     split = pallas_split.prepare(sc.flat, bvh)
     mesh = make_mesh(8)
 
