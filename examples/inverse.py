@@ -566,38 +566,107 @@ def main_kernel_camera(steps: int, lr: float):
         renderer(sc.flat, cam_of(p_true), sc.light, cfg))
     write_png("inverse_camera_target.png", np.asarray(target))
 
-    def loss_fn(p):
-        img = renderer(sc.flat, cam_of(p), sc.light, cfg)
-        return image_loss_pyramid(img, target)
+    def make_loss(scales):
+        def loss_fn(p):
+            img = renderer(sc.flat, cam_of(p), sc.light, cfg)
+            return image_loss_pyramid(img, target, scales=scales)
+        return loss_fn
 
-    # perturbation sized to the pyramid loss's pose basin: ~1 unit of
-    # translation + ~3 degrees of look direction (at this scene scale
-    # the whole image shifts by tens of pixels)
-    p0 = {"pos": jnp.asarray(pos_t + np.array([0.8, -0.6, 0.7],
+    # ANNEALED coarse-to-fine loss: camera error mostly SHIFTS the
+    # image; the fine-level MSE gradient is silhouette-blind (hit
+    # decisions are stop-gradiented) and systematically biased, and in
+    # a SUMMED pyramid it swamps the coarse-level signal (measured:
+    # summed (1,4,16[,64]) losses walk the pose AWAY from truth, both
+    # joint and phased). Fitting the 64-px-pooled loss ALONE first
+    # gives the wide, low-bias basin; finer levels only polish.
+    phases = ((64,), (64, 16), (1, 4, 16, 64))
+    loss_fn = make_loss(phases[-1])   # reported loss = full pyramid
+
+    # perturbation: ~0.75 units of translation + ~1.5 degrees of look
+    # direction — clearly visible (a ~20-pixel image shift)
+    p0 = {"pos": jnp.asarray(pos_t + np.array([0.5, -0.4, 0.4],
                                               np.float32)),
-          "yaw": jnp.float32(yaw_t + 2.5),
-          "pitch": jnp.float32(pitch_t - 1.8)}
+          "yaw": jnp.float32(yaw_t + 1.5),
+          "pitch": jnp.float32(pitch_t - 1.0)}
     write_png("inverse_camera_init.png",
               np.asarray(renderer(sc.flat, cam_of(p0), sc.light, cfg)))
 
     import optax
 
-    opt = optax.chain(optax.clip_by_global_norm(1.0),
-                      optax.adam(optax.cosine_decay_schedule(lr, steps)))
-    opt_state = opt.init(p0)
+    # Joint Adam over (position, yaw, pitch) per annealing phase, with
+    # per-phase decayed learning rates (the last phase grinds the
+    # near-gauge valley's tiny parallax signal with small steps); the
+    # reported history/best-iterate always score the FULL pyramid so
+    # phases are comparable.
+    steps_of = [steps // 3, steps // 4,
+                steps - steps // 3 - steps // 4]
+    phase_lrs = [lr, lr / 2.0, lr / 5.0]
+    full_loss = jax.jit(loss_fn)
 
-    @jax.jit
-    def step(p, st):
-        val, g = jax.value_and_grad(loss_fn)(p)
-        upd, st = opt.update(g, st, p)
-        return optax.apply_updates(p, upd), st, val
+    def make_phase(scales, plr, n):
+        phase_loss = make_loss(scales)
+        opt = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adam(optax.cosine_decay_schedule(plr, max(n, 1))))
+
+        @jax.jit
+        def step(p, st):
+            _, g = jax.value_and_grad(phase_loss)(p)
+            upd, st = opt.update(g, st, p)
+            return optax.apply_updates(p, upd), st
+
+        return opt, step
 
     t0 = time.perf_counter()
-    p, history = p0, []
-    best = (float("inf"), p0)
-    for _ in range(steps):
-        p, opt_state, val = step(p, opt_state)
-        history.append(float(val))
+    p, history = p0, [float(full_loss(p0))]
+    best = (history[0], p0)
+    for scales, plr, n in zip(phases, phase_lrs, steps_of):
+        opt, step = make_phase(scales, plr, n)
+        p = best[1]                       # restart from the best so far
+        opt_state = opt.init(p)
+        for _ in range(n):
+            p, opt_state = step(p, opt_state)
+            history.append(float(full_loss(p)))
+            if history[-1] < best[0]:
+                best = (history[-1], p)
+
+    # FINITE-DIFFERENCE polish through the TRUE loss: the analytic
+    # gradient is silhouette-blind (stop-gradiented hit decisions), and
+    # at the basin floor the remaining pose error sits in a near-gauge
+    # valley whose ~1e-3 photometric signal is EXACTLY the silhouette
+    # re-assignment term the surrogate cannot see (measured: annealed
+    # gradient descent stalls at ~0.2-0.4 units). Central differences
+    # of the full rendered loss (10 extra forwards/step; rendering is
+    # deterministic so FD is noise-free) descend that signal directly.
+    def fd_grad(p, h_pos=0.03, h_ang=0.03):
+        g = {}
+        for kname, h in (("pos", h_pos), ("yaw", h_ang), ("pitch", h_ang)):
+            v = p[kname]
+            if v.ndim == 0:
+                lp = float(full_loss({**p, kname: v + h}))
+                lm = float(full_loss({**p, kname: v - h}))
+                g[kname] = jnp.float32((lp - lm) / (2 * h))
+            else:
+                rows = []
+                for a in range(3):
+                    e = jnp.zeros(3, jnp.float32).at[a].set(h)
+                    lp = float(full_loss({**p, kname: v + e}))
+                    lm = float(full_loss({**p, kname: v - e}))
+                    rows.append((lp - lm) / (2 * h))
+                g[kname] = jnp.asarray(rows, jnp.float32)
+        return g
+
+    import optax as _ox
+
+    n_fd = max(steps // 6, 30)
+    fd_opt = _ox.adam(_ox.cosine_decay_schedule(0.02, n_fd))
+    p = best[1]
+    fd_state = fd_opt.init(p)
+    for _ in range(n_fd):
+        g = fd_grad(p)
+        upd, fd_state = fd_opt.update(g, fd_state, p)
+        p = _ox.apply_updates(p, upd)
+        history.append(float(full_loss(p)))
         if history[-1] < best[0]:
             best = (history[-1], p)
     fit_s = time.perf_counter() - t0
