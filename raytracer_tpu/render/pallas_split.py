@@ -989,7 +989,7 @@ def _wholeframe_kernel(leaf_start_ref, leaf_count_ref, skip_ref,
                        reflect_eps, use_fresnel, enable_shadows,
                        unroll=1, rid_values=None, raygen=None,
                        emit_state=False, consume_state=False,
-                       consume_geom=None):
+                       consume_geom=None, consume_atten=True):
     """One tile's full Whitted trace (whitted.trace, bounce-unrolled).
     rays rows: o(3), d(3), bg(3). par (1, 24): light pos(3) + color(3)
     [+ camera pos/front/right/up (12), half_w, half_h when raygen].
@@ -1096,12 +1096,20 @@ def _wholeframe_kernel(leaf_start_ref, leaf_count_ref, skip_ref,
         dy = rays_ref[4, 0]
         dz = rays_ref[5, 0]
         if consume_state:
-            # continuation: rows 6-8 are attenuation, row 9 the original
-            # blocked pixel index; bg is re-derived from it (docstring)
-            atr = rays_ref[6, 0]
-            atg = rays_ref[7, 0]
-            atb = rays_ref[8, 0]
-            retf = rays_ref[9, 0]
+            # continuation: with consume_atten, rows 6-8 are the entry
+            # attenuation and row 9 the original blocked pixel index;
+            # WITHOUT it (the slimmed 8-column sort), row 6 is the pixel
+            # index and the kernel accumulates RELATIVE to entry
+            # (attenuation 1) — the caller multiplies the entry
+            # attenuation back in original order after the un-sort.
+            # bg is re-derived from the pixel index either way.
+            if consume_atten:
+                atr = rays_ref[6, 0]
+                atg = rays_ref[7, 0]
+                atb = rays_ref[8, 0]
+                retf = rays_ref[9, 0]
+            else:
+                retf = rays_ref[6, 0]
             h_img, tile_sz, bh, bw, n_bw = consume_geom
             tile_id = jnp.floor(retf / float(tile_sz))
             rr = retf - tile_id * float(tile_sz)
@@ -1126,7 +1134,7 @@ def _wholeframe_kernel(leaf_start_ref, leaf_count_ref, skip_ref,
     zero = jnp.zeros_like(ox)
     one = jnp.ones_like(ox)
     accr = accg = accb = zero
-    if not consume_state:
+    if not (consume_state and consume_atten):
         atr = atg = atb = one
     alive = ox < 1e30  # primary rays are live unless padding-parked
 
@@ -1312,11 +1320,16 @@ def _wholeframe_render(split: SplitScene, attr_tab, light: Light,
     tile = th * tw
     raygen = None
     consume_geom = None
+    consume_atten = True
     if consume_state:
         r = state[0].shape[0]
         assert r % tile == 0
         g = r // tile
-        rays = jnp.stack(state).reshape(10, g, th, tw)
+        # 10 rows = o, d, atten, ret; 7 rows = o, d, ret (the slimmed
+        # sort: the kernel accumulates relative to entry attenuation)
+        assert len(state) in (7, 10), len(state)
+        consume_atten = len(state) == 10
+        rays = jnp.stack(state).reshape(len(state), g, th, tw)
         _, n_bw, bh, bw = grid_shape
         # ret decodes with BOUNCE-1's block size (bh*bw), which equals
         # this launch's tile only when tile_override is unset
@@ -1374,7 +1387,7 @@ def _wholeframe_render(split: SplitScene, attr_tab, light: Light,
         use_fresnel=cfg.use_fresnel, enable_shadows=cfg.enable_shadows,
         unroll=TRI_UNROLL, rid_values=rid_values, raygen=raygen,
         emit_state=emit_state, consume_state=consume_state,
-        consume_geom=consume_geom)
+        consume_geom=consume_geom, consume_atten=consume_atten)
     if raygen is not None:
         def body(ls, lc, sk, nd, pr, tr, tb, pa, *outs):
             # rays_ref slot is None: rays are generated in-kernel
@@ -1405,7 +1418,7 @@ def _wholeframe_render(split: SplitScene, attr_tab, light: Light,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 24), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((10 if consume_state else 9, 1, th, tw),
+            pl.BlockSpec((rays.shape[0], 1, th, tw),
                          lambda i, *_: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
@@ -1685,6 +1698,16 @@ CONT_TILE = None
 # in-frame, profiler-measured). Bit-exact either way.
 USE_GATHER_REPACK = False
 
+# Slim the hybrid's first sort from 11 to 8 columns: the bounce-1
+# attenuation never rides the sort — the continuation accumulates
+# RELATIVE to its entry attenuation (starts at 1) and the entry
+# attenuation, which the emit kernel already returns in ORIGINAL order,
+# multiplies the un-sorted relative colors at composite time. Per-lane
+# hit decisions are identical; colors differ only by the one extra f32
+# multiply reassociation (the parity bar is already "equal up to f32
+# reassociation"). ~0.2 ms/column in-frame -> ~0.6 ms saved per frame.
+SLIM_SORT = True
+
 
 def _render_blocks(scene: FlatScene, split: SplitScene, camera, light,
                    cfg: RenderConfig, grid_shape, y_off=0.0):
@@ -1740,6 +1763,27 @@ def _render_blocks(scene: FlatScene, split: SplitScene, camera, light,
             s3 = jax.lax.sort((perm, ret0), dimension=0, num_keys=1,
                               is_stable=True)
             colors = acc1 + jnp.take(accb_, s3[1], axis=0)
+            colors = colors.reshape(n_bh, n_bw, bh, bw, 3)
+            return colors.transpose(0, 2, 1, 3, 4).reshape(n_bh * bh,
+                                                           n_bw * bw, 3)
+        if SLIM_SORT and not cfg.second_sort:
+            # 8-column re-pack: key + o + d + ret. Neither bg (re-derived
+            # from ret in-kernel) nor the entry attenuation (multiplied
+            # back in original order below) rides the sort.
+            s = jax.lax.sort(
+                (key,) + tuple(state[0:6]) + (ret0,),
+                dimension=0, num_keys=1, is_stable=True)
+            accb_ = _wholeframe_render(
+                split, attr_tab, light, None, None,
+                None, cfg, grid_shape=grid_shape,
+                bounces=cfg.max_bounces - 1, consume_state=True,
+                state=list(s[1:7]) + [s[7].astype(jnp.float32)],
+                y_off=y_off, tile_override=CONT_TILE)
+            u = jax.lax.sort(
+                (s[7], accb_[:, 0], accb_[:, 1], accb_[:, 2]),
+                dimension=0, num_keys=1, is_stable=True)
+            at1 = jnp.stack(state[6:9], axis=-1)   # original order
+            colors = acc1 + at1 * jnp.stack([u[1], u[2], u[3]], axis=-1)
             colors = colors.reshape(n_bh, n_bw, bh, bw, 3)
             return colors.transpose(0, 2, 1, 3, 4).reshape(n_bh * bh,
                                                            n_bw * bw, 3)
