@@ -74,7 +74,7 @@ def _run_candidate(name: str):
     cfg = RenderConfig(width=800, height=600, max_bounces=3, use_bvh=True,
                        ray_chunk=480000, tile_h=16, tile_w=128)
 
-    def jiggle_cams(cam, n=8):
+    def jiggle_cams(cam, n=200):
         # Vary the camera sub-pixel per frame: this axon attachment has
         # intermittently returned absurd throughput for streams of
         # bitwise-IDENTICAL dispatches (12000+ FPS readings for a 15ms
@@ -82,8 +82,9 @@ def _run_candidate(name: str):
         # A/B); distinct inputs defeat whatever result-dedup causes it,
         # and an interactive loop never re-renders an identical frame
         # anyway. Offsets are ~1e-4 world units: invisible, same work.
-        import jax.numpy as jnp
-
+        # n=200 > frames-per-candidate so EVERY dispatch of the whole
+        # candidate is distinct (8 cams cycled across 50-frame streams
+        # still produced a deduped 12000-FPS scene-2 reading, r5).
         return [type(cam)(cam.position + 1e-4 * i, cam.front, cam.up,
                           cam.right, cam.fov_deg, cam.aspect)
                 for i in range(n)]
@@ -157,8 +158,9 @@ def _run_candidate(name: str):
             split = pallas_split.prepare(sc.flat, bvh)
             cams = jiggle_cams(sc.camera)
             fn = lambda i=0: pallas_split.render(sc.flat, bvh,
-                                                 cams[i % 8], sc.light,
-                                                 cfg, split=split)
+                                                 cams[i % len(cams)],
+                                                 sc.light, cfg,
+                                                 split=split)
         else:
             # animated stream through the production device-refresh path
             # (one jit per frame: animate -> refresh split tables ->
@@ -185,18 +187,21 @@ def _run_candidate(name: str):
             from raytracer_tpu.render import pallas_split
 
             split = pallas_split.prepare(sc.flat, bvh)
-            fn = lambda i=0: pallas_split.render(sc.flat, bvh, cams[i % 8],
+            fn = lambda i=0: pallas_split.render(sc.flat, bvh,
+                                                 cams[i % len(cams)],
                                                  sc.light, cfg,
                                                  split=split)
         elif name == "pallas_bvh":
             from raytracer_tpu.render import pallas_bvh
 
-            fn = lambda i=0: pallas_bvh.render(sc.flat, bvh, cams[i % 8],
+            fn = lambda i=0: pallas_bvh.render(sc.flat, bvh,
+                                               cams[i % len(cams)],
                                                sc.light, cfg)
         elif name == "wavefront":
             from raytracer_tpu.render import wavefront
 
-            fn = lambda i=0: wavefront.render(sc.flat, bvh, cams[i % 8],
+            fn = lambda i=0: wavefront.render(sc.flat, bvh,
+                                              cams[i % len(cams)],
                                               sc.light, cfg)
         else:  # reference_oracle: pure XLA, no Pallas
             from raytracer_tpu.accel.linearize import shape_leaf_boxes
@@ -204,8 +209,8 @@ def _run_candidate(name: str):
 
             lb = shape_leaf_boxes(bvh, sc.flat.num_shapes)
             cfg_ref = cfg.replace(ray_chunk=24000)
-            fn = lambda i=0: render_ref(sc.flat, cams[i % 8], sc.light,
-                                        cfg_ref, leaf_boxes=lb)
+            fn = lambda i=0: render_ref(sc.flat, cams[i % len(cams)],
+                                        sc.light, cfg_ref, leaf_boxes=lb)
 
     jax.block_until_ready(fn())  # compile + warm
 
@@ -228,9 +233,15 @@ def _run_candidate(name: str):
     # faster than it is, and jiggled camera inputs already defeat the
     # known result-dedup over-measurement), so max-of-N is the unbiased
     # robust estimator here. Per-stream values are reported for audit.
+    frame_no = [0]   # global frame counter: every dispatch of every
+                     # stream gets a DISTINCT camera (dedup-proof)
+
     def one_stream(nframes=50):
         t0 = time.perf_counter()
-        outs = [fn(i) for i in range(nframes)]
+        outs = []
+        for _ in range(nframes):
+            outs.append(fn(frame_no[0]))
+            frame_no[0] += 1
         jax.block_until_ready(outs)
         return nframes / (time.perf_counter() - t0)
 
