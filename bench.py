@@ -74,7 +74,7 @@ def _run_candidate(name: str):
     cfg = RenderConfig(width=800, height=600, max_bounces=3, use_bvh=True,
                        ray_chunk=480000, tile_h=16, tile_w=128)
 
-    def jiggle_cams(cam, n=200):
+    def jiggle_cams(cam, n=300):
         # Vary the camera sub-pixel per frame: this axon attachment has
         # intermittently returned absurd throughput for streams of
         # bitwise-IDENTICAL dispatches (12000+ FPS readings for a 15ms
@@ -82,11 +82,23 @@ def _run_candidate(name: str):
         # A/B); distinct inputs defeat whatever result-dedup causes it,
         # and an interactive loop never re-renders an identical frame
         # anyway. Offsets are ~1e-4 world units: invisible, same work.
-        # n=200 > frames-per-candidate so EVERY dispatch of the whole
+        # n=300 >= frames-per-candidate so EVERY dispatch of the whole
         # candidate is distinct (8 cams cycled across 50-frame streams
-        # still produced a deduped 12000-FPS scene-2 reading, r5).
-        return [type(cam)(cam.position + 1e-4 * i, cam.front, cam.up,
-                          cam.right, cam.fov_deg, cam.aspect)
+        # produced a deduped 12000-FPS scene-2 reading, r5), and a
+        # PER-PROCESS base offset so no two subprocesses ever issue a
+        # bitwise-identical dispatch — the dedup is server-side and
+        # CROSS-PROCESS (the recheck subprocess re-rendering the first
+        # attempt's exact cameras read 16000 FPS, r5).
+        # the per-process offset rides a [1,2,3] DIRECTION while the
+        # per-frame jiggle is isotropic: equality on all three
+        # components then requires the same pid, so no cross-process
+        # dispatch can be bitwise-identical; total magnitude stays
+        # ~0.04 units (sub-pixel at scene scale)
+        import numpy as _np
+        base = 1e-5 * (os.getpid() % 997)
+        bvec = base * _np.array([1.0, 2.0, 3.0], _np.float32)
+        return [type(cam)(cam.position + bvec + 1e-4 * i, cam.front,
+                          cam.up, cam.right, cam.fov_deg, cam.aspect)
                 for i in range(n)]
 
     if name == "grad_split":
@@ -173,9 +185,13 @@ def _run_candidate(name: str):
             frame_fn = make_frame_fn(sc, cfg, renderer="split")
             dt = 1.0 / 60.0
             state = {"flat": sc.flat, "t": 0.0}
+            # per-process camera offset: another subprocess replaying
+            # the same animation schedule would otherwise issue
+            # bitwise-identical dispatches (cross-process dedup)
+            cam_anim = jiggle_cams(sc.camera, n=1)[0]
 
             def fn(i=0):
-                img, state["flat"] = frame_fn(state["flat"], sc.camera,
+                img, state["flat"] = frame_fn(state["flat"], cam_anim,
                                               sc.light, state["t"], dt)
                 state["t"] += dt
                 return img
@@ -274,9 +290,10 @@ def _run_candidate(name: str):
         frame_fn = make_frame_fn(sc, cfg, renderer="split")
         dt = 1.0 / 60.0
         state = {"flat": sc.flat, "t": 0.0}
+        cam_anim = cams[0]   # pid-offset camera: cross-process-distinct
 
         def fn_anim(i=0):
-            img, state["flat"] = frame_fn(state["flat"], sc.camera,
+            img, state["flat"] = frame_fn(state["flat"], cam_anim,
                                           sc.light, state["t"], dt)
             state["t"] += dt
             return img
@@ -288,7 +305,14 @@ def _run_candidate(name: str):
             outs = [fn_anim(i) for i in range(50)]
             jax.block_until_ready(outs)
             anim_streams.append(50 / (time.perf_counter() - t0))
-        out["anim_same_process_fps"] = round(max(anim_streams), 2)
+        best_anim = max(anim_streams)
+        if best_anim > 2.0 * fps:
+            # the animated stream does MORE work than static: a >2x
+            # reading is the attachment's result-dedup (observed 5174
+            # FPS despite unique chained inputs) — flag, don't report
+            out["anim_same_process_fps"] = "unreliable (dedup artifact)"
+        else:
+            out["anim_same_process_fps"] = round(best_anim, 2)
         out["anim_same_process_streams"] = [round(s, 1)
                                             for s in anim_streams]
     print(json.dumps(out))

@@ -25,7 +25,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from raytracer_tpu.accel import build_bvh, linearize
 from raytracer_tpu.config import RenderConfig
-from raytracer_tpu.render import pallas_split
+from raytracer_tpu.render import pallas_split, wholeframe
 from raytracer_tpu.scenes import generate_scene
 
 
@@ -49,8 +49,8 @@ def main():
     ref_img = None
     out = {}
     for name, gather, cont in variants:
-        pallas_split.USE_GATHER_REPACK = gather
-        pallas_split.CONT_TILE = cont
+        wholeframe.USE_GATHER_REPACK = gather
+        wholeframe.CONT_TILE = cont
         pallas_split._render_impl.clear_cache()
         fn = lambda i: pallas_split.render(sc.flat, bvh, cams[i % 8],
                                            sc.light, cfg, split=split)
@@ -72,8 +72,8 @@ def main():
                      "max_abs_vs_baseline": diff,
                      "compile_s": round(compile_s, 1)}
         print(json.dumps({name: out[name]}), flush=True)
-    pallas_split.USE_GATHER_REPACK = False
-    pallas_split.CONT_TILE = None
+    wholeframe.USE_GATHER_REPACK = False
+    wholeframe.CONT_TILE = None
     print(json.dumps(out))
 
 
