@@ -99,9 +99,12 @@ USE_RESOLVE_KERNEL = True
 # 47.2 FPS vs 32.4 at U=1/depth-20. Re-swept round 2 under the leaf-cond
 # walk (internal iterations skip the U tests entirely, so a bigger U no
 # longer taxes them): U=32 on the m=49 tree gives 103 FPS vs 98.8 at
-# U=16; U=48 (95.2), U=24 (85.5 — sublane-misaligned), leaf 64 (98.6),
-# leaf 192/256 m=25 (100.5), tiles 8x128 (83.2) / 32x128 (99.4) all lose.
-TRI_UNROLL = 32
+# U=16; U=24 (85.5 — sublane-misaligned), leaf 64 (98.6), tiles 8x128
+# (83.2) / 32x128 (99.4) all lose. RE-SWEPT round 5 under the final
+# wholeframe + slim-sort kernel (same-view, bit-exact, quiet chip):
+# U48/leaf128 beats U32/leaf96 on BOTH scenes (scene 2 hybrid
+# 70.9 -> 72.9, scene 1 140.5 -> 141.3); U64 and leaf 192 lose.
+TRI_UNROLL = 48
 
 # Fully unroll the non-triangle pre-pass fori_loop (same iteration-
 # latency argument as TRI_UNROLL; the pre-pass is ~1ms per traversal at

@@ -269,10 +269,14 @@ class SplitScene:
             tri[:, T_MKF] = np.asarray(scene.mat_fresnel)[gids]
             tri[:, T_MSH] = np.asarray(scene.mat_shininess)[gids]
             tri[:, T_RID] = canon[gids].astype(np.float32)
-        # +32 guard rows: with TRI_UNROLL = U the unrolled tests may read
-        # (masked-off) rows up to st + cnt - 1 + U - 1 past the last
-        # triangle; zero rows never intersect and are valid-masked anyway
-        k_pad = max(((tri.shape[0] + 32 + 7) // 8) * 8, 8)
+        # +TRI_UNROLL guard rows: with TRI_UNROLL = U the unrolled tests
+        # may read (masked-off) rows up to st + cnt - 1 + U - 1 past the
+        # last triangle; zero rows never intersect and are valid-masked
+        # anyway. Padding tracks the LIVE unroll (r5: the +32 constant
+        # silently under-padded when U was raised to 48).
+        from raytracer_tpu.render import pallas_split as _ps
+        guard = max(int(_ps.TRI_UNROLL), 32)
+        k_pad = max(((tri.shape[0] + guard + 7) // 8) * 8, 8)
         tri = np.pad(tri, ((0, k_pad - tri.shape[0]), (0, 0)))
         self.tri_rows = jnp.asarray(tri)
         pre_pad = max(((pre.shape[0] + 7) // 8) * 8, 8)
@@ -516,7 +520,9 @@ def update_materials(split: SplitScene, scene: FlatScene) -> SplitScene:
 TRI_BUILDER = "sah"
 
 # SAH leaf size (median builder keeps TRI_LEAF_TARGET above).
-SAH_LEAF_TARGET = 96
+# 96 -> 128 in round 5: re-swept with TRI_UNROLL=48 under the final
+# kernel (see pallas_split.TRI_UNROLL note).
+SAH_LEAF_TARGET = 128
 
 
 def prepare(scene: FlatScene, ref_bvh: LinearBVH,
